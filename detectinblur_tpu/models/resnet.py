@@ -1,0 +1,176 @@
+"""ResNet backbones (flax.linen, NHWC) structurally matched to torchvision.
+
+The reference detector is torchvision's ``fasterrcnn_resnet50_fpn``
+(models/faster_rcnn.py:301-373) whose backbone is a ResNet with
+FrozenBatchNorm. Module names here mirror torchvision's parameter names
+(``conv1``, ``layer1.0.conv2``, ``downsample.0`` ...) so the released .pth
+checkpoints map 1:1 through utils/torch_convert.py.
+
+Frozen BN is represented as an affine (scale, bias) pair kept in the normal
+param tree; the training layer freezes them (and optionally whole stages,
+matching ``trainable_backbone_layers``) with an optimizer mask rather than a
+separate collection.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class FrozenBatchNorm(nn.Module):
+    """Affine-only BatchNorm: y = x * scale + bias.
+
+    The torch converter folds (gamma, beta, running_mean, running_var, eps)
+    into (scale, bias); fresh initialization is identity.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * scale + bias
+
+
+def _conv(features, kernel, stride=1, name=None, padding=None):
+    if padding is None:
+        padding = [(kernel // 2, kernel // 2)] * 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=padding,
+        use_bias=False,
+        name=name,
+        dtype=jnp.float32,
+    )
+
+
+class Bottleneck(nn.Module):
+    width: int           # bottleneck width (conv2 channels)
+    stride: int = 1
+    expansion: int = 4
+    norm: Callable[..., nn.Module] = FrozenBatchNorm
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        out_ch = self.width * self.expansion
+        identity = x
+        y = _conv(self.width, 1, name="conv1")(x)
+        y = self.norm(self.width, name="bn1")(y)
+        y = nn.relu(y)
+        y = _conv(self.width, 3, stride=self.stride, name="conv2")(y)
+        y = self.norm(self.width, name="bn2")(y)
+        y = nn.relu(y)
+        y = _conv(out_ch, 1, name="conv3")(y)
+        y = self.norm(out_ch, name="bn3")(y)
+        if x.shape[-1] != out_ch or self.stride != 1:
+            identity = _conv(out_ch, 1, stride=self.stride, name="downsample_0")(x)
+            identity = self.norm(out_ch, name="downsample_1")(identity)
+        return nn.relu(y + identity)
+
+
+class BasicBlock(nn.Module):
+    width: int
+    stride: int = 1
+    expansion: int = 1
+    norm: Callable[..., nn.Module] = FrozenBatchNorm
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        identity = x
+        y = _conv(self.width, 3, stride=self.stride, name="conv1")(x)
+        y = self.norm(self.width, name="bn1")(y)
+        y = nn.relu(y)
+        y = _conv(self.width, 3, name="conv2")(y)
+        y = self.norm(self.width, name="bn2")(y)
+        if x.shape[-1] != self.width or self.stride != 1:
+            identity = _conv(self.width, 1, stride=self.stride, name="downsample_0")(x)
+            identity = self.norm(self.width, name="downsample_1")(identity)
+        return nn.relu(y + identity)
+
+
+RESNET_SPECS = {
+    "resnet18": (BasicBlock, (2, 2, 2, 2)),
+    "resnet34": (BasicBlock, (3, 4, 6, 3)),
+    "resnet50": (Bottleneck, (3, 4, 6, 3)),
+    "resnet101": (Bottleneck, (3, 4, 23, 3)),
+    "resnet152": (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+class ResNet(nn.Module):
+    """torchvision-layout ResNet trunk returning the four stage outputs
+    (C2, C3, C4, C5), NHWC."""
+
+    arch: str = "resnet50"
+    norm: Callable[..., nn.Module] = FrozenBatchNorm
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        block, layers = RESNET_SPECS[self.arch]
+        x = _conv(64, 7, stride=2, name="conv1", padding=[(3, 3), (3, 3)])(x)
+        x = self.norm(64, name="bn1")(x)
+        x = nn.relu(x)
+        # torch maxpool 3x3 stride 2 pad 1: explicit -inf padding.
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+
+        outs = []
+        widths = (64, 128, 256, 512)
+        for i, (n_blocks, width) in enumerate(zip(layers, widths)):
+            for b in range(n_blocks):
+                stride = 2 if (b == 0 and i > 0) else 1
+                x = block(width, stride=stride, norm=self.norm,
+                          name=f"layer{i + 1}_{b}")(x, train=train)
+            outs.append(x)
+        return tuple(outs)
+
+
+class FPN(nn.Module):
+    """Feature Pyramid Network with LastLevelMaxPool, matching torchvision's
+    ``BackboneWithFPN`` (P2..P5 + pool P6 used only by the RPN)."""
+
+    out_channels: int = 256
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array]):
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), name=f"inner_{i}")(f)
+            for i, f in enumerate(feats)
+        ]
+        ps = [laterals[-1]]
+        for i in range(len(laterals) - 2, -1, -1):
+            up = jax.image.resize(
+                ps[0],
+                (laterals[i].shape[0], laterals[i].shape[1], laterals[i].shape[2],
+                 ps[0].shape[-1]) if laterals[i].ndim == 4 else laterals[i].shape,
+                method="nearest",
+            )
+            ps.insert(0, laterals[i] + up)
+        outs = [
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    name=f"layer_{i}")(p)
+            for i, p in enumerate(ps)
+        ]
+        # LastLevelMaxPool: 1x1 window, stride 2 == subsample by 2.
+        pool = outs[-1][..., ::2, ::2, :] if outs[-1].ndim == 4 else outs[-1][::2, ::2, :]
+        return tuple(outs) + (pool,)
+
+
+class ResNetFPN(nn.Module):
+    """resnet_fpn_backbone equivalent: images -> (P2, P3, P4, P5, P6)."""
+
+    arch: str = "resnet50"
+    out_channels: int = 256
+    norm: Callable[..., nn.Module] = FrozenBatchNorm
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        feats = ResNet(self.arch, norm=self.norm, name="body")(x, train=train)
+        return FPN(self.out_channels, name="fpn")(feats)

@@ -1,0 +1,87 @@
+import jax.numpy as jnp
+import numpy as np
+
+from detectinblur_tpu.ops.nms import nms, batched_nms, NEG_INF
+
+
+def numpy_nms_oracle(boxes, scores, thresh):
+    """Reference greedy NMS (torchvision semantics) in plain numpy."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i] or scores[i] <= -1e30:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        a = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        ai = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        iou = inter / np.maximum(ai + a - inter, 1e-12)
+        suppressed |= iou > thresh
+    return keep
+
+
+def _rand_boxes(rng, n, size=100):
+    b = rng.random((n, 4)).astype(np.float32) * size
+    b[:, 2:] = b[:, :2] + 1 + b[:, 2:] * 0.3
+    return b
+
+
+def test_nms_matches_oracle(rng):
+    boxes = _rand_boxes(rng, 60)
+    scores = rng.random(60).astype(np.float32)
+    idxs, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 60)
+    ours = list(np.asarray(idxs)[np.asarray(valid)])
+    oracle = numpy_nms_oracle(boxes, scores, 0.5)
+    assert ours == oracle
+
+
+def test_nms_respects_max_outputs(rng):
+    boxes = _rand_boxes(rng, 50)
+    scores = rng.random(50).astype(np.float32)
+    idxs, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.9, 5)
+    assert idxs.shape == (5,)
+    oracle = numpy_nms_oracle(boxes, scores, 0.9)[:5]
+    assert list(np.asarray(idxs)[np.asarray(valid)]) == oracle
+
+
+def test_nms_padding_masked_out(rng):
+    boxes = _rand_boxes(rng, 20)
+    scores = rng.random(20).astype(np.float32)
+    scores[10:] = float(NEG_INF)  # padded entries
+    idxs, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 20)
+    picked = np.asarray(idxs)[np.asarray(valid)]
+    assert (picked < 10).all()
+    oracle = numpy_nms_oracle(boxes[:10], scores[:10], 0.5)
+    assert list(picked) == oracle
+
+
+def test_nms_zero_area_boxes_terminate():
+    boxes = jnp.zeros((4, 4))
+    scores = jnp.array([0.9, 0.8, 0.7, 0.6])
+    idxs, valid = nms(boxes, scores, 0.5, 4)
+    # Zero-area boxes never suppress each other (IoU 0) but each gets
+    # consumed exactly once.
+    assert sorted(np.asarray(idxs)[np.asarray(valid)].tolist()) == [0, 1, 2, 3]
+
+
+def test_batched_nms_keeps_classes_separate(rng):
+    # Identical boxes in different categories must all survive.
+    box = np.array([[10.0, 10, 20, 20]], np.float32)
+    boxes = np.repeat(box, 3, axis=0)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    cats = np.array([0, 1, 2])
+    idxs, valid = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(cats), 0.5, 3
+    )
+    assert np.asarray(valid).all()
+    # Same category -> only the top survives.
+    idxs2, valid2 = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.zeros(3, jnp.int32), 0.5, 3
+    )
+    assert np.asarray(valid2).sum() == 1
+    assert np.asarray(idxs2)[0] == 0
