@@ -1,0 +1,77 @@
+"""End-to-end blur+detect throughput benchmark (driver entry point).
+
+Measures the fused pipeline on real hardware: PSF-bank blur (128x128
+camera-shake kernels) -> normalize/resize -> Faster R-CNN ResNet50-FPN
+inference at COCO eval resolution (min side 800), everything inside one
+jitted XLA program per step.
+
+Baseline: the reference runs torchvision fasterrcnn_resnet50_fpn plus a
+per-image O(nnz) roll-loop blur; on A100 the detector alone sustains
+~25 img/s (torchvision reference scripts), and BASELINE.md's target is
+>= 2x A100 img/s/chip, i.e. 50 img/s. vs_baseline = value / 50.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_X2_TARGET = 50.0  # img/s; see module docstring
+
+
+def main():
+    from detectinblur_tpu.models.faster_rcnn import FasterRCNN, FasterRCNNConfig
+    from detectinblur_tpu.ops.blur import batched_blur
+    from detectinblur_tpu.ops.psf import sample_psf
+    from detectinblur_tpu.models.detection_transform import preprocess_batch
+
+    B = 8
+    src_h, src_w = 480, 640            # COCO-native size
+    bucket = (832, 1248)               # model bucket (/32) for 800x1216
+
+    cfg = FasterRCNNConfig()
+    model = FasterRCNN(cfg)
+    params = model.init(jax.random.key(0), bucket=bucket)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((B, src_h, src_w, 3), np.float32))
+    hw = jnp.tile(jnp.asarray([[src_h, src_w]]), (B, 1))
+    keys = jax.random.split(jax.random.key(1), B)
+    psfs = jax.vmap(lambda k: sample_psf(k, expl=0.005, fraction=0.5))(keys)
+    blurring = jnp.ones((B,), bool)
+
+    @jax.jit
+    def blur_detect(params, images, hw, psfs, blurring):
+        chw = jnp.transpose(images, (0, 3, 1, 2))
+        blurred = batched_blur(chw, psfs, blurring)
+        imgs = jnp.transpose(blurred, (0, 2, 3, 1))
+        det = model.predict(params, imgs, hw, bucket=bucket)
+        return det.boxes, det.scores, det.labels, det.valid
+
+    # Warmup / compile.
+    out = blur_detect(params, images, hw, psfs, blurring)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = blur_detect(params, images, hw, psfs, blurring)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_per_s = B * iters / dt
+    print(json.dumps({
+        "metric": "blur_detect_images_per_sec_per_chip",
+        "value": round(img_per_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_s / A100_X2_TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,200 @@
+"""Training entry point (reference train.py equivalent).
+
+Pipeline: dataset -> per-host loader -> device PSF bank -> jitted SPMD
+train step (blur + expand + forward + losses + SGD in one XLA program) ->
+per-epoch Orbax checkpoint + clean/blurred eval + TensorBoard scalars
+(train.py:89-391 semantics).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from detectinblur_tpu.cli.args import train_parser
+from detectinblur_tpu.data.blur_sampling import BlurPolicy, generate_psf_bank
+from detectinblur_tpu.data.coco import get_coco
+from detectinblur_tpu.data.loader import DetectionLoader
+from detectinblur_tpu.models.faster_rcnn import FasterRCNN, FasterRCNNConfig
+from detectinblur_tpu.parallel.mesh import is_main_process, make_mesh
+from detectinblur_tpu.train.checkpoint import restore_checkpoint, restore_weights, save_checkpoint
+from detectinblur_tpu.train.engine import make_train_step, make_eval_step
+from detectinblur_tpu.train.eval_loop import evaluate_coco
+from detectinblur_tpu.train.state import create_train_state, make_optimizer
+from detectinblur_tpu.data.batching import model_bucket_for
+from detectinblur_tpu.utils.logging import ScalarWriter
+from detectinblur_tpu.utils.metric_logger import MetricLogger
+from detectinblur_tpu.utils.torch_convert import (
+    convert_fasterrcnn_state_dict,
+    load_torch_state_dict,
+)
+
+BLUR_STAT_TAGS = ["AveragePrecision", "AP50", "AP75", "APSmall", "APMedium",
+                  "APLarge", "AR1", "AR10", "AR100", "ARSmall", "ARMedium",
+                  "ARLarge"]
+
+
+def build_model(args) -> FasterRCNN:
+    if args.model != "fasterrcnn_resnet50_fpn":
+        raise NotImplementedError(
+            f"round-1 CLI supports fasterrcnn_resnet50_fpn; {args.model} "
+            "is available via models.classifier/versatile backbones")
+    cfg = FasterRCNNConfig(warp_internally=args.warp_in_model)
+    return FasterRCNN(cfg)
+
+
+def load_initial_params(args, model):
+    key = jax.random.key(1337)
+    params = model.init(key)
+    if args.pretrained or args.start_from_weights.endswith(".pth"):
+        path = args.start_from_weights or (
+            args.output_dir + "/fasterrcnn_resnet50_fpn_coco.pth")
+        try:
+            sd = load_torch_state_dict(path)
+            params = convert_fasterrcnn_state_dict(sd)
+            print(f"loaded torch weights from {path}")
+        except FileNotFoundError:
+            print(f"pretrained weights not found at {path}; training from scratch")
+    return params
+
+
+def main(argv=None):
+    args = train_parser().parse_args(argv)
+    np.random.seed(1337 + jax.process_index() * 1337)  # train.py:100-104
+
+    mesh = make_mesh()
+    writer = ScalarWriter(args.tensorboard_path)
+
+    dataset = get_coco(args.data_path, "train")
+    dataset_val = get_coco(args.data_path, "val")
+
+    policy = BlurPolicy.training_default(
+        low=args.low_exposure, high=args.high_exposure
+    ) if args.blur_train else BlurPolicy(prob=0.0)
+    if args.param_index is not None:
+        from detectinblur_tpu.ops.psf import BLUR_PARAMS, EVAL_PARAMS
+
+        # With stored PSFs the index is a folder index 1-3; otherwise an
+        # index into [0.01, 0.005, 0.001, 0.00005] (train.py:127-137).
+        params_list = BLUR_PARAMS if args.use_stored_psfs else EVAL_PARAMS
+        offset = -1 if args.use_stored_psfs else 0
+        policy.blur_type = params_list[args.param_index + offset]
+
+    psf_bank = None
+    if args.blur_train:
+        bank_size = 12000 if args.use_stored_psfs else 512
+        print(f"generating device PSF bank ({bank_size}/bin)...")
+        psf_bank = generate_psf_bank(jax.random.key(7), bank_size=min(bank_size, 2048))
+
+    loader = DetectionLoader(
+        dataset, args.batch_size, policy, psf_bank, shuffle=True,
+        hflip_prob=0.5, num_processes=jax.process_count(),
+        process_index=jax.process_index(),
+    )
+
+    model = build_model(args)
+    params = load_initial_params(args, model)
+    tx, schedule = make_optimizer(
+        base_lr=args.lr, steps_per_epoch=max(len(loader), 1),
+        momentum=args.momentum, weight_decay=args.weight_decay,
+        milestones=args.lr_steps, gamma=args.lr_gamma,
+        trainable_backbone_layers=args.trainable_backbone_blocks,
+        params=params,
+    )
+    state = create_train_state(params, tx)
+    start_epoch = args.start_epoch
+    if args.resume:
+        state = restore_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume}")
+    elif args.start_from_weights and not args.start_from_weights.endswith(".pth"):
+        state = state._replace(params=restore_weights(args.start_from_weights,
+                                                      state.params))
+
+    steps = {}  # (bucket) -> jitted step
+
+    def step_for(bucket):
+        if bucket not in steps:
+            steps[bucket] = make_train_step(
+                model, tx, model_bucket_for(bucket),
+                blur_train=args.blur_train,
+                expand_target_boxes=args.expand_target_boxes,
+                use_warp=args.warp_in_model,
+                use_custom_norm=args.use_custom_image_norm,
+            )
+        return steps[bucket]
+
+    global_iter = 0
+    with mesh:
+        for epoch in range(start_epoch, args.epochs):
+            loader.set_epoch(epoch)
+            logger = MetricLogger()
+            t_epoch = time.time()
+            for batch, bucket, _ids in logger.log_every(
+                loader, args.print_freq, f"Epoch: [{epoch}]"
+            ):
+                key = jax.random.fold_in(jax.random.key(1337), global_iter)
+                state, metrics = step_for(bucket)(state, batch, key)
+                if global_iter % args.print_freq == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    if not np.isfinite(m["loss"]):
+                        raise RuntimeError(f"Loss is {m['loss']}, aborting "
+                                           f"(non-finite loss guard): {m}")
+                    logger.update(**m)
+                    writer.add_scalar("losses/totalLoss", m["loss"], global_iter)
+                    for k, v in m.items():
+                        if k != "loss":
+                            writer.add_scalar(f"losses/{k}", v, global_iter)
+                    writer.add_scalar("learningRate",
+                                      float(schedule(global_iter)), global_iter)
+                global_iter += 1
+                if args.early_stop is not None and global_iter >= args.early_stop:
+                    break
+
+            print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
+            if args.output_dir:
+                save_checkpoint(args.output_dir, state, epoch, vars(args))
+
+            # Post-epoch eval: clean + blurred (train.py:346-387).
+            from detectinblur_tpu.train.eval_loop import dataset_to_coco_index
+
+            coco_gt = dataset_val.index
+            for tag, blur in (("Normal", False), ("Blurred", True)):
+                if blur and not args.blur_train:
+                    continue
+                val_loader = DetectionLoader(
+                    dataset_val, 1,
+                    policy if blur else BlurPolicy(prob=0.0),
+                    psf_bank if blur else None,
+                    shuffle=False, num_processes=jax.process_count(),
+                    process_index=jax.process_index(), drop_last=False,
+                )
+                eval_steps = {}
+
+                def eval_step(params, batch, _blur=blur):
+                    b = batch.images.shape[1:3]
+                    if b not in eval_steps:
+                        eval_steps[b] = make_eval_step(
+                            model, model_bucket_for(b), blur_eval=_blur,
+                            expand_target_boxes=args.expand_target_boxes and _blur,
+                            use_warp=args.warp_in_model,
+                            use_custom_norm=args.use_custom_image_norm,
+                        )
+                    return eval_steps[b](params, batch)
+
+                stats = evaluate_coco(
+                    eval_step, state.params, val_loader, coco_gt,
+                    expand_target_boxes=args.expand_target_boxes and blur,
+                    early_stop=args.early_stop,
+                )
+                for name, value in zip(BLUR_STAT_TAGS, stats[:12]):
+                    writer.add_scalar(f"{tag}/{name}", float(value), epoch)
+
+            if args.early_stop is not None:
+                break
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Fixed-shape batch assembly (host side).
+
+Replaces the reference's GroupedBatchSampler + collate
+(group_by_aspect_ratio.py, utils.py collate): images are grouped by
+orientation into a small set of static buckets so XLA compiles only a few
+shapes, padded top-left with zeros, and emitted as a BlurBatch struct of
+arrays (the blur_dict contract, transforms.py:412-463, as fixed shapes).
+
+Also hosts RandomHorizontalFlip (transforms.py:49-66) since flipping must
+happen before box padding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from detectinblur_tpu.data.blur_sampling import BlurDecision
+
+# (h, w) source buckets; images are assigned by orientation and size.
+DEFAULT_SOURCE_BUCKETS = ((512, 672), (672, 512), (672, 672))
+
+
+def pick_bucket(h: int, w: int, buckets: Sequence[Tuple[int, int]]):
+    """Smallest bucket that fits (h, w); falls back to the largest."""
+    candidates = [b for b in buckets if b[0] >= h and b[1] >= w]
+    if not candidates:
+        return max(buckets, key=lambda b: b[0] * b[1])
+    return min(candidates, key=lambda b: b[0] * b[1])
+
+
+def model_bucket_for(source_bucket: Tuple[int, int], min_size=800, max_size=1333,
+                     divisor=32) -> Tuple[int, int]:
+    """Static model bucket big enough for any image in the source bucket
+    after min/max-side resize."""
+    h, w = source_bucket
+    scale = min(min_size / min(h, w), max_size / max(h, w))
+    Ho = int(np.ceil(h * scale / divisor) * divisor)
+    Wo = int(np.ceil(w * scale / divisor) * divisor)
+    return Ho, Wo
+
+
+def hflip_item(item: Dict) -> Dict:
+    img = item["image"][:, ::-1]
+    w = item["image"].shape[1]
+    boxes = item["boxes"].copy()
+    boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+    out = dict(item, image=img, boxes=boxes)
+    if "masks" in item:
+        out["masks"] = item["masks"][:, :, ::-1]
+    return out
+
+
+def build_blur_batch(
+    items: List[Dict],
+    decisions: List[BlurDecision],
+    psf_bank: Optional[np.ndarray],     # [P, F, N, 128, 128] or None
+    source_bucket: Tuple[int, int],
+    max_gt: int = 100,
+):
+    """Assemble a BlurBatch (numpy) for a list of same-bucket items."""
+    from detectinblur_tpu.train.engine import BlurBatch
+
+    B = len(items)
+    Hb, Wb = source_bucket
+    images = np.zeros((B, Hb, Wb, 3), np.float32)
+    hw = np.zeros((B, 2), np.int32)
+    psfs = np.zeros((B, 128, 128), np.float32)
+    blurring = np.zeros(B, bool)
+    param_index = np.full(B, -1, np.int32)
+    fraction_index = np.full(B, -1, np.int32)
+    gt_boxes = np.zeros((B, max_gt, 4), np.float32)
+    gt_labels = np.zeros((B, max_gt), np.int32)
+    gt_valid = np.zeros((B, max_gt), bool)
+
+    for i, (item, dec) in enumerate(zip(items, decisions)):
+        img = item["image"]
+        h, w = img.shape[:2]
+        assert h <= Hb and w <= Wb, (h, w, source_bucket)
+        images[i, :h, :w] = img
+        hw[i] = (h, w)
+        n = min(len(item["boxes"]), max_gt)
+        gt_boxes[i, :n] = item["boxes"][:n]
+        gt_labels[i, :n] = item["labels"][:n]
+        gt_valid[i, :n] = True
+        if dec.blurring and dec.fraction_index >= 0 and psf_bank is not None:
+            blurring[i] = True
+            param_index[i] = dec.param_index
+            fraction_index[i] = dec.fraction_index
+            psfs[i] = psf_bank[dec.param_index, dec.fraction_index,
+                               dec.psf_index % psf_bank.shape[2]]
+
+    import jax.numpy as jnp
+
+    return BlurBatch(
+        images=jnp.asarray(images),
+        hw=jnp.asarray(hw),
+        psfs=jnp.asarray(psfs),
+        blurring=jnp.asarray(blurring),
+        thetas=jnp.zeros(B, jnp.float32),
+        lam1s=jnp.ones(B, jnp.float32),
+        lam2s=jnp.ones(B, jnp.float32),
+        param_index=jnp.asarray(param_index),
+        fraction_index=jnp.asarray(fraction_index),
+        gt_boxes=jnp.asarray(gt_boxes),
+        gt_labels=jnp.asarray(gt_labels),
+        gt_valid=jnp.asarray(gt_valid),
+    )

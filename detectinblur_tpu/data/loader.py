@@ -1,0 +1,118 @@
+"""Host-side batch loader with thread prefetch.
+
+Replaces DataLoader + DistributedSampler + GroupedBatchSampler
+(train.py:186-215): per-host id sharding, per-epoch reshuffle
+(set_epoch semantics), orientation bucketing, and background assembly of
+fixed-shape BlurBatch structs so the device never waits on image decode.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from detectinblur_tpu.data.batching import (
+    DEFAULT_SOURCE_BUCKETS,
+    build_blur_batch,
+    hflip_item,
+    pick_bucket,
+)
+from detectinblur_tpu.data.blur_sampling import BlurPolicy, sample_blur_decision
+
+
+class DetectionLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        policy: Optional[BlurPolicy] = None,
+        psf_bank: Optional[np.ndarray] = None,
+        shuffle: bool = True,
+        hflip_prob: float = 0.0,
+        source_buckets: Sequence[Tuple[int, int]] = DEFAULT_SOURCE_BUCKETS,
+        seed: int = 1337,
+        max_gt: int = 100,
+        num_processes: int = 1,
+        process_index: int = 0,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.policy = policy or BlurPolicy(prob=0.0)
+        self.psf_bank = psf_bank
+        self.shuffle = shuffle
+        self.hflip_prob = hflip_prob
+        self.buckets = tuple(source_buckets)
+        self.seed = seed
+        self.max_gt = max_gt
+        self.num_processes = num_processes
+        self.process_index = process_index
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # Per-host contiguous shard (DistributedSampler equivalent).
+        per = n // self.num_processes if self.num_processes > 1 else n
+        return idx[self.process_index * per : (self.process_index + 1) * per]
+
+    def __len__(self):
+        return len(self._epoch_indices()) // self.batch_size
+
+    def _produce(self, out_q: "queue.Queue"):
+        rng = np.random.default_rng(
+            (self.seed + self.epoch) * 131071 + self.process_index * 1337
+        )
+        pending: Dict[Tuple[int, int], List] = {b: [] for b in self.buckets}
+        bank_size = self.psf_bank.shape[2] if self.psf_bank is not None else 1
+        try:
+            for i in self._epoch_indices():
+                item = self.dataset[int(i)]
+                if self.hflip_prob > 0 and rng.random() < self.hflip_prob:
+                    item = hflip_item(item)
+                h, w = item["image"].shape[:2]
+                bucket = pick_bucket(h, w, self.buckets)
+                # Oversized images are center-cropped to the largest bucket.
+                if h > bucket[0] or w > bucket[1]:
+                    item = dict(item, image=item["image"][: bucket[0], : bucket[1]])
+                dec = sample_blur_decision(rng, self.policy, bank_size)
+                pending[bucket].append((item, dec))
+                if len(pending[bucket]) == self.batch_size:
+                    items, decs = zip(*pending[bucket])
+                    out_q.put((build_blur_batch(list(items), list(decs),
+                                                self.psf_bank, bucket,
+                                                self.max_gt), bucket,
+                               [it["image_id"] for it in items]))
+                    pending[bucket] = []
+            if not self.drop_last:
+                for bucket, lst in pending.items():
+                    if lst:
+                        items, decs = zip(*lst)
+                        out_q.put((build_blur_batch(list(items), list(decs),
+                                                    self.psf_bank, bucket,
+                                                    self.max_gt), bucket,
+                                   [it["image_id"] for it, _ in lst]))
+        finally:
+            out_q.put(None)
+
+    def __iter__(self) -> Iterator:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            got = q.get()
+            if got is None:
+                break
+            yield got

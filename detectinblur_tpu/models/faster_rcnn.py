@@ -1,0 +1,212 @@
+"""Faster R-CNN ResNet-FPN, assembled TPU-first.
+
+The reference's vendored torchvision detector (models/faster_rcnn.py:301-373
++ models/generalized_rcnn.py:43-161) re-expressed as one jittable function
+over fixed-shape batches:
+
+  raw bucketed images [B, Hb, Wb, 3] + valid sizes
+    -> normalize + dynamic-scale resize into the model bucket
+    -> (optional Squint warp, generalized_rcnn.py:131-141)
+    -> ResNet-FPN backbone (P2..P6)
+    -> (optional inverse Squint warp of each level)
+    -> RPN -> RoI heads -> fixed-size detections, rescaled to input coords.
+
+Everything — including NMS and RoIAlign — runs inside one XLA program; no
+host synchronization anywhere in the step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from detectinblur_tpu.models.detection_transform import (
+    preprocess_batch,
+    resize_boxes,
+)
+from detectinblur_tpu.models.resnet import ResNetFPN
+from detectinblur_tpu.models.rpn import (
+    RPNConfig,
+    RPNHead,
+    rpn_loss,
+    run_rpn,
+)
+from detectinblur_tpu.models.roi_heads import (
+    BoxHeadConfig,
+    FastRCNNPredictor,
+    TwoMLPHead,
+    fastrcnn_loss,
+    postprocess_detections,
+    select_training_samples,
+)
+from detectinblur_tpu.ops.roi_align import multiscale_roi_align
+from detectinblur_tpu.ops.warp import squint_warp
+
+
+class FasterRCNNConfig(NamedTuple):
+    arch: str = "resnet50"
+    num_classes: int = 91
+    min_size: int = 800
+    max_size: int = 1333
+    rpn: RPNConfig = RPNConfig()
+    box: BoxHeadConfig = BoxHeadConfig()
+    warp_internally: bool = False
+
+
+class Detections(NamedTuple):
+    boxes: jax.Array     # [B, D, 4] in *input (pre-resize) valid* coords
+    scores: jax.Array    # [B, D]
+    labels: jax.Array    # [B, D]
+    valid: jax.Array     # [B, D]
+
+
+class FasterRCNN:
+    """Stateless orchestrator; parameters live in a plain pytree with
+    top-level keys backbone / rpn_head / box_head / box_predictor."""
+
+    def __init__(self, config: FasterRCNNConfig = FasterRCNNConfig()):
+        self.cfg = config
+        self.backbone = ResNetFPN(arch=config.arch)
+        self.rpn_head = RPNHead()
+        self.box_head = TwoMLPHead()
+        self.box_predictor = FastRCNNPredictor(config.num_classes)
+
+    # ---------------------------------------------------------------- init
+    def init(self, key: jax.Array, bucket: Tuple[int, int] = (832, 832)):
+        kb, kr, kh, kp = jax.random.split(key, 4)
+        dummy = jnp.zeros((1, bucket[0], bucket[1], 3), jnp.float32)
+        backbone = self.backbone.init(kb, dummy)["params"]
+        feats = self.backbone.apply({"params": backbone}, dummy)
+        rpn_head = self.rpn_head.init(kr, feats)["params"]
+        pooled = jnp.zeros((1, 256, 7, 7), jnp.float32)
+        box_head = self.box_head.init(kh, pooled)["params"]
+        feat_vec = jnp.zeros((1, 1024), jnp.float32)
+        box_predictor = self.box_predictor.init(kp, feat_vec)["params"]
+        return {
+            "backbone": backbone,
+            "rpn_head": rpn_head,
+            "box_head": box_head,
+            "box_predictor": box_predictor,
+        }
+
+    # ------------------------------------------------------------ features
+    def _features(self, params, images, thetas=None, lam1s=None, lam2s=None,
+                  kill_warp=False, train=False):
+        if self.cfg.warp_internally and not kill_warp:
+            images = squint_warp(images, thetas, lam1s, lam2s)
+        feats = self.backbone.apply({"params": params["backbone"]}, images,
+                                    train=train)
+        if self.cfg.warp_internally and not kill_warp:
+            feats = tuple(
+                squint_warp(f, thetas, 1.0 / lam1s, 1.0 / lam2s) for f in feats
+            )
+        return feats
+
+    def _box_outputs(self, params, feats_i, rois):
+        pooled = multiscale_roi_align(feats_i, rois)        # [R, 7, 7, C]
+        pooled = jnp.transpose(pooled, (0, 3, 1, 2))        # torch CHW flatten
+        x = self.box_head.apply({"params": params["box_head"]}, pooled)
+        return self.box_predictor.apply({"params": params["box_predictor"]}, x)
+
+    # ----------------------------------------------------------- inference
+    def predict(
+        self,
+        params,
+        images: jax.Array,      # [B, Hb0, Wb0, 3] raw 0..1, valid top-left
+        hw: jax.Array,          # [B, 2] valid sizes (original coords)
+        bucket: Tuple[int, int],
+        means: Optional[jax.Array] = None,   # [B, 3] blur-conditional norms
+        stds: Optional[jax.Array] = None,
+        thetas: Optional[jax.Array] = None,
+        lam1s: Optional[jax.Array] = None,
+        lam2s: Optional[jax.Array] = None,
+        kill_warp: bool = False,
+    ) -> Detections:
+        cfg = self.cfg
+        batched, new_hw = preprocess_batch(
+            images, hw, bucket, means, stds, cfg.min_size, cfg.max_size
+        )
+        feats = self._features(params, batched, thetas, lam1s, lam2s, kill_warp)
+        rpn_out = run_rpn(params["rpn_head"], self.rpn_head, feats, new_hw,
+                          training=False, cfg=cfg.rpn)
+
+        def per_image(feats_i, rois, roi_valid, hw_i, orig_hw_i):
+            logits, deltas = self._box_outputs(params, feats_i, rois)
+            boxes, scores, labels, valid = postprocess_detections(
+                logits, deltas, rois, roi_valid, hw_i, cfg.box
+            )
+            boxes = resize_boxes(boxes, hw_i, orig_hw_i)
+            return boxes, scores, labels, valid
+
+        p2to5 = feats[:4]
+        boxes, scores, labels, valid = jax.vmap(
+            lambda f0, f1, f2, f3, rois, rv, nhw, ohw: per_image(
+                (f0, f1, f2, f3), rois, rv, nhw, ohw
+            )
+        )(*p2to5, rpn_out.proposals, rpn_out.proposal_valid, new_hw, hw)
+        return Detections(boxes, scores, labels, valid)
+
+    # ------------------------------------------------------------ training
+    def loss(
+        self,
+        params,
+        key: jax.Array,
+        images: jax.Array,       # [B, Hb0, Wb0, 3]
+        hw: jax.Array,           # [B, 2]
+        gt_boxes: jax.Array,     # [B, G, 4] in input coords (padded)
+        gt_labels: jax.Array,    # [B, G]
+        gt_valid: jax.Array,     # [B, G]
+        bucket: Tuple[int, int],
+        means: Optional[jax.Array] = None,
+        stds: Optional[jax.Array] = None,
+        thetas: Optional[jax.Array] = None,
+        lam1s: Optional[jax.Array] = None,
+        lam2s: Optional[jax.Array] = None,
+        kill_warp: bool = False,
+    ):
+        cfg = self.cfg
+        B = images.shape[0]
+        batched, new_hw = preprocess_batch(
+            images, hw, bucket, means, stds, cfg.min_size, cfg.max_size
+        )
+        gt_resized = jax.vmap(resize_boxes)(gt_boxes, hw, new_hw)
+
+        feats = self._features(params, batched, thetas, lam1s, lam2s,
+                               kill_warp, train=True)
+        rpn_out = run_rpn(params["rpn_head"], self.rpn_head, feats, new_hw,
+                          training=True, cfg=cfg.rpn)
+
+        keys = jax.random.split(key, (B, 2))
+
+        rpn_box_l, rpn_obj_l, rpn_n = jax.vmap(
+            lambda k, obj, dlt, gb, gv: rpn_loss(
+                k, obj, dlt, rpn_out.anchors, gb, gv, cfg.rpn
+            )
+        )(keys[:, 0], rpn_out.objectness, rpn_out.pred_deltas, gt_resized, gt_valid)
+
+        def sample_one(k, rois, rv, gb, gl, gv):
+            return select_training_samples(k, rois, rv, gb, gl, gv, cfg.box)
+
+        rois, roi_labels, reg_targets, roi_valid = jax.vmap(sample_one)(
+            keys[:, 1], rpn_out.proposals, rpn_out.proposal_valid,
+            gt_resized, gt_labels, gt_valid,
+        )
+
+        p2to5 = feats[:4]
+        logits, deltas = jax.vmap(
+            lambda f0, f1, f2, f3, r: self._box_outputs(params, (f0, f1, f2, f3), r)
+        )(*p2to5, rois)
+
+        ce_sum, box_sum, n = jax.vmap(fastrcnn_loss)(logits, deltas, roi_labels, reg_targets)
+        n_tot = jnp.maximum(jnp.sum(n), 1)
+        losses = {
+            # torchvision loss normalization (rpn.compute_loss /
+            # fastrcnn_loss): per-batch totals over sampled counts.
+            "loss_objectness": jnp.sum(rpn_obj_l) / jnp.maximum(jnp.sum(rpn_n), 1),
+            "loss_rpn_box_reg": jnp.sum(rpn_box_l) / jnp.maximum(jnp.sum(rpn_n), 1),
+            "loss_classifier": jnp.sum(ce_sum) / n_tot,
+            "loss_box_reg": jnp.sum(box_sum) / n_tot,
+        }
+        return losses

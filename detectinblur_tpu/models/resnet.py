@@ -37,6 +37,11 @@ class FrozenBatchNorm(nn.Module):
         return x * scale + bias
 
 
+# Checkpoint-parity requires f32 accumulation; on TPU the default conv
+# precision is bf16-ish, which costs real mAP. HIGHEST keeps convs f32.
+CONV_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _conv(features, kernel, stride=1, name=None, padding=None):
     if padding is None:
         padding = [(kernel // 2, kernel // 2)] * 2
@@ -48,6 +53,7 @@ def _conv(features, kernel, stride=1, name=None, padding=None):
         use_bias=False,
         name=name,
         dtype=jnp.float32,
+        precision=CONV_PRECISION,
     )
 
 
@@ -141,7 +147,8 @@ class FPN(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array]):
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f"inner_{i}")(f)
+            nn.Conv(self.out_channels, (1, 1), name=f"inner_{i}",
+                    precision=CONV_PRECISION)(f)
             for i, f in enumerate(feats)
         ]
         ps = [laterals[-1]]
@@ -155,7 +162,7 @@ class FPN(nn.Module):
             ps.insert(0, laterals[i] + up)
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    name=f"layer_{i}")(p)
+                    name=f"layer_{i}", precision=CONV_PRECISION)(p)
             for i, p in enumerate(ps)
         ]
         # LastLevelMaxPool: 1x1 window, stride 2 == subsample by 2.

@@ -1,0 +1,252 @@
+"""Region Proposal Network, fixed-shape, matching torchvision semantics.
+
+Replaces torchvision's RegionProposalNetwork (the configuration the
+reference vendors at models/faster_rcnn.py:150-202 and drives from
+models/generalized_rcnn.py:147): anchor matching at IoU 0.7/0.3 with
+low-quality matches allowed, 256 sampled anchors at 0.5 positive fraction,
+pre-NMS top-1000/2000 per level, level-aware NMS at 0.7, post-NMS
+top-1000/2000 — but expressed over padded arrays with validity masks, no
+dynamic shapes anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from detectinblur_tpu.models.anchors import grid_anchors
+from detectinblur_tpu.ops.boxes import box_iou, clip_boxes_to_image, decode_boxes, encode_boxes
+from detectinblur_tpu.ops.nms import batched_nms, NEG_INF
+
+
+class RPNHead(nn.Module):
+    """3x3 conv + 1x1 objectness / box-delta heads, shared across levels."""
+
+    in_channels: int = 256
+    num_anchors: int = 3
+
+    @nn.compact
+    def __call__(self, features: Sequence[jax.Array]):
+        prec = jax.lax.Precision.HIGHEST
+        conv = nn.Conv(self.in_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                       name="conv", precision=prec)
+        cls = nn.Conv(self.num_anchors, (1, 1), name="cls_logits", precision=prec)
+        bbox = nn.Conv(self.num_anchors * 4, (1, 1), name="bbox_pred", precision=prec)
+        logits, deltas = [], []
+        for f in features:
+            t = nn.relu(conv(f))
+            logits.append(cls(t))
+            deltas.append(bbox(t))
+        return logits, deltas
+
+
+class RPNConfig(NamedTuple):
+    pre_nms_top_n_train: int = 2000
+    pre_nms_top_n_test: int = 1000
+    post_nms_top_n_train: int = 2000
+    post_nms_top_n_test: int = 1000
+    nms_thresh: float = 0.7
+    fg_iou_thresh: float = 0.7
+    bg_iou_thresh: float = 0.3
+    batch_size_per_image: int = 256
+    positive_fraction: float = 0.5
+    min_size: float = 1e-3
+
+
+def _flatten_level(x: jax.Array, per_anchor: int) -> jax.Array:
+    """[H, W, A*k] -> [H*W*A, k]; NHWC reshape matches the (y, x, anchor)
+    anchor ordering from anchors.grid_anchors."""
+    h, w, _ = x.shape
+    return x.reshape(h * w * (x.shape[-1] // per_anchor), per_anchor)
+
+
+def filter_proposals(
+    proposals: jax.Array,      # [sum_A, 4] decoded, this image
+    objectness: jax.Array,     # [sum_A]
+    anchors_per_level: Tuple[int, ...],
+    image_hw: jax.Array,       # (h, w) valid image size
+    pre_nms_top_n: int,
+    post_nms_top_n: int,
+    nms_thresh: float,
+    min_size: float,
+):
+    """torchvision RegionProposalNetwork.filter_proposals for one image.
+
+    Returns (boxes [post_nms_top_n, 4], valid [post_nms_top_n]).
+    """
+    # Per-level top-k by objectness.
+    sel_scores, sel_boxes, sel_levels = [], [], []
+    start = 0
+    for lvl, n in enumerate(anchors_per_level):
+        k = min(pre_nms_top_n, n)
+        sc = objectness[start : start + n]
+        bx = proposals[start : start + n]
+        top_sc, top_idx = jax.lax.top_k(sc, k)
+        sel_scores.append(top_sc)
+        sel_boxes.append(bx[top_idx])
+        sel_levels.append(jnp.full((k,), lvl, jnp.int32))
+        start += n
+
+    scores = jnp.concatenate(sel_scores)
+    boxes = jnp.concatenate(sel_boxes)
+    levels = jnp.concatenate(sel_levels)
+
+    boxes = clip_boxes_to_image(boxes, image_hw[0], image_hw[1])
+
+    # Remove small boxes (min_size 1e-3): mask scores instead of filtering.
+    ws = boxes[:, 2] - boxes[:, 0]
+    hs = boxes[:, 3] - boxes[:, 1]
+    keep = (ws >= min_size) & (hs >= min_size)
+    scores = jnp.where(keep, scores, NEG_INF)
+
+    idxs, valid = batched_nms(boxes, scores, levels, nms_thresh, post_nms_top_n)
+    return boxes[idxs], valid
+
+
+def assign_targets_to_anchors(
+    anchors: jax.Array,      # [A, 4]
+    gt_boxes: jax.Array,     # [G, 4] padded
+    gt_valid: jax.Array,     # [G] bool
+    fg_iou: float,
+    bg_iou: float,
+):
+    """torchvision Matcher(0.7, 0.3, allow_low_quality_matches=True).
+
+    Returns (labels [A] in {-1 ignore, 0 bg, 1 fg}, matched_gt_boxes [A, 4]).
+    """
+    iou = box_iou(gt_boxes, anchors)                     # [G, A]
+    iou = jnp.where(gt_valid[:, None], iou, -1.0)
+
+    matched_vals = jnp.max(iou, axis=0)
+    matches = jnp.argmax(iou, axis=0)
+
+    labels = jnp.where(matched_vals >= fg_iou, 1, -1)
+    labels = jnp.where(matched_vals < bg_iou, 0, labels)
+
+    # Low-quality matches: any anchor achieving a gt's best IoU becomes fg.
+    best_per_gt = jnp.max(iou, axis=1, keepdims=True)     # [G, 1]
+    is_best = (iou == best_per_gt) & gt_valid[:, None] & (best_per_gt > 0)
+    low_quality = jnp.any(is_best, axis=0)
+    # Restore pre-threshold match for those anchors (argmax already is it).
+    labels = jnp.where(low_quality, 1, labels)
+
+    any_gt = jnp.any(gt_valid)
+    labels = jnp.where(any_gt, labels, 0)
+    matched = gt_boxes[matches]
+    return labels, matched
+
+
+def balanced_sample(
+    key: jax.Array,
+    labels: jax.Array,       # [A] in {-1, 0, 1}
+    batch_size: int,
+    positive_fraction: float,
+):
+    """BalancedPositiveNegativeSampler: returns (pos_mask, neg_mask)."""
+    pos = labels == 1
+    neg = labels == 0
+    kp, kn = jax.random.split(key)
+    max_pos = int(batch_size * positive_fraction)
+
+    def ranks(mask, k):
+        r = jax.random.uniform(k, labels.shape)
+        r = jnp.where(mask, r, jnp.inf)
+        order = jnp.argsort(r)
+        rank = jnp.zeros_like(labels).at[order].set(jnp.arange(labels.shape[0]))
+        return rank
+
+    pos_rank = ranks(pos, kp)
+    num_pos = jnp.minimum(jnp.sum(pos), max_pos)
+    sel_pos = pos & (pos_rank < num_pos)
+
+    neg_rank = ranks(neg, kn)
+    num_neg = jnp.minimum(jnp.sum(neg), batch_size - num_pos)
+    sel_neg = neg & (neg_rank < num_neg)
+    return sel_pos, sel_neg
+
+
+def smooth_l1(x: jax.Array, beta: float) -> jax.Array:
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def rpn_loss(
+    key: jax.Array,
+    objectness: jax.Array,       # [A]
+    pred_deltas: jax.Array,      # [A, 4]
+    anchors: jax.Array,          # [A, 4]
+    gt_boxes: jax.Array,
+    gt_valid: jax.Array,
+    cfg: RPNConfig,
+):
+    """Per-image RPN loss (engine sums over the batch and divides by the
+    total sampled count, matching torchvision's compute_loss)."""
+    labels, matched = assign_targets_to_anchors(
+        anchors, gt_boxes, gt_valid, cfg.fg_iou_thresh, cfg.bg_iou_thresh
+    )
+    sel_pos, sel_neg = balanced_sample(key, labels, cfg.batch_size_per_image,
+                                       cfg.positive_fraction)
+    sampled = sel_pos | sel_neg
+
+    targets = encode_boxes(matched, anchors, (1.0, 1.0, 1.0, 1.0))
+    box_l = jnp.sum(
+        jnp.where(sel_pos[:, None], smooth_l1(pred_deltas - targets, 1.0 / 9), 0.0)
+    )
+    obj_t = labels.astype(jnp.float32)
+    bce = jnp.maximum(objectness, 0) - objectness * obj_t + jnp.log1p(jnp.exp(-jnp.abs(objectness)))
+    obj_l = jnp.sum(jnp.where(sampled, bce, 0.0))
+    n = jnp.maximum(jnp.sum(sampled), 1)
+    return box_l, obj_l, n
+
+
+class RPNOutputs(NamedTuple):
+    proposals: jax.Array       # [B, P, 4]
+    proposal_valid: jax.Array  # [B, P]
+    objectness: jax.Array      # [B, sum_A]
+    pred_deltas: jax.Array     # [B, sum_A, 4]
+    anchors: jax.Array         # [sum_A, 4]
+    anchors_per_level: Tuple[int, ...]
+
+
+def run_rpn(
+    head_params,
+    head: RPNHead,
+    features: Sequence[jax.Array],   # 5 levels, [B, H_l, W_l, C]
+    image_hw: jax.Array,             # [B, 2] valid sizes
+    training: bool,
+    cfg: RPNConfig = RPNConfig(),
+) -> RPNOutputs:
+    """Run the RPN over a batch. ``features`` must include the P6 pool."""
+    logits, deltas = head.apply({"params": head_params}, features)
+
+    feat_shapes = tuple((f.shape[1], f.shape[2]) for f in features)
+    image_size = (int(features[0].shape[1] * 4), int(features[0].shape[2] * 4))
+    anchors_np = grid_anchors(feat_shapes, image_size)
+    anchors = jnp.asarray(np.concatenate(anchors_np, axis=0))
+    anchors_per_level = tuple(a.shape[0] for a in anchors_np)
+
+    def flatten_batch(xs, k):
+        return jnp.concatenate(
+            [jax.vmap(lambda t: _flatten_level(t, k))(x) for x in xs], axis=1
+        )
+
+    objectness = flatten_batch(logits, 1)[..., 0]          # [B, sum_A]
+    pred_deltas = flatten_batch(deltas, 4)                 # [B, sum_A, 4]
+
+    pre_n = cfg.pre_nms_top_n_train if training else cfg.pre_nms_top_n_test
+    post_n = cfg.post_nms_top_n_train if training else cfg.post_nms_top_n_test
+
+    def per_image(obj, dlt, hw):
+        props = decode_boxes(jax.lax.stop_gradient(dlt), anchors, (1.0, 1.0, 1.0, 1.0))
+        return filter_proposals(
+            props, jax.lax.stop_gradient(obj),
+            anchors_per_level, hw, pre_n, post_n, cfg.nms_thresh, cfg.min_size,
+        )
+
+    boxes, valid = jax.vmap(per_image)(objectness, pred_deltas, image_hw)
+    return RPNOutputs(boxes, valid, objectness, pred_deltas, anchors, anchors_per_level)

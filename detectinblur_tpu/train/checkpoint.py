@@ -1,0 +1,69 @@
+"""Checkpoint / resume via Orbax.
+
+Reproduces the reference scheme (train.py:332-339, utils.py:758-760):
+per-epoch checkpoints ``model_{epoch}`` holding {params, opt_state, step}
+plus the run args, written by process 0 only; ``--resume`` restores
+everything, ``--start_from_weights`` restores params only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from detectinblur_tpu.parallel.mesh import is_main_process
+from detectinblur_tpu.train.state import TrainState
+
+
+def save_checkpoint(output_dir: str, state: TrainState, epoch: int,
+                    args: Optional[dict] = None) -> str:
+    path = os.path.join(os.path.abspath(output_dir), f"model_{epoch}")
+    if is_main_process():
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            })
+        if args is not None:
+            with open(os.path.join(output_dir, f"args_{epoch}.json"), "w") as f:
+                json.dump(args, f, indent=2, default=str)
+    return path
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path), {
+            "params": template.params,
+            "opt_state": template.opt_state,
+            "step": template.step,
+        })
+    return TrainState(restored["step"], restored["params"], restored["opt_state"])
+
+
+def restore_weights(path: str, params_template) -> Any:
+    """--start_from_weights: params only (train.py:260-263)."""
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path) + "/params"
+                             if os.path.isdir(os.path.join(path, "params"))
+                             else os.path.abspath(path),
+                             params_template)
+
+
+def latest_epoch(output_dir: str) -> Optional[int]:
+    """Autodiscover the newest model_{epoch} (deblur model.py:61-132 has
+    the same convention for its own checkpoints)."""
+    if not os.path.isdir(output_dir):
+        return None
+    epochs = []
+    for name in os.listdir(output_dir):
+        if name.startswith("model_"):
+            try:
+                epochs.append(int(name.split("_")[1]))
+            except ValueError:
+                pass
+    return max(epochs) if epochs else None

@@ -1,0 +1,151 @@
+"""Train/eval engines: the jitted step functions.
+
+The per-iteration semantics mirror engine.py:30-167 of the reference —
+device-side blur (``--gpu_blur``), PSF-driven target-box expansion
+(``--expand_target_boxes``), blur-conditional normalization, squint warp
+params — but the whole iteration (blur -> expand -> forward -> loss ->
+grads -> SGD) is ONE compiled XLA program, SPMD over the data mesh. Loss
+reduction across chips is implicit in the partitioner (the pmean the
+reference does by DDP hooks + reduce_dict, utils.py:579-603).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from detectinblur_tpu.models.faster_rcnn import FasterRCNN
+from detectinblur_tpu.ops.blur import batched_blur
+from detectinblur_tpu.ops.boxes import expand_boxes_by_psf
+from detectinblur_tpu.train.state import TrainState
+
+
+class BlurBatch(NamedTuple):
+    """Fixed-shape device batch: the blur_dict contract
+    (transforms.py:412-463) as a struct of arrays."""
+
+    images: jax.Array        # [B, Hb, Wb, 3] raw 0..1, valid at top-left
+    hw: jax.Array            # [B, 2] valid sizes
+    psfs: jax.Array          # [B, 128, 128]
+    blurring: jax.Array      # [B] bool
+    thetas: jax.Array        # [B]
+    lam1s: jax.Array         # [B]
+    lam2s: jax.Array         # [B]
+    param_index: jax.Array   # [B] int32, -1 when N/A
+    fraction_index: jax.Array  # [B] int32, -1 for negligible exposure
+    gt_boxes: jax.Array      # [B, G, 4]
+    gt_labels: jax.Array     # [B, G]
+    gt_valid: jax.Array      # [B, G]
+
+
+def apply_blur_and_expand(
+    batch: BlurBatch,
+    expand_target_boxes: bool,
+    exact_blur: bool = False,
+) -> BlurBatch:
+    """Device-side GPU-blur + expand_targets (engine.py:101-105)."""
+    imgs_chw = jnp.transpose(batch.images, (0, 3, 1, 2))
+    blurred = batched_blur(imgs_chw, batch.psfs, batch.blurring, exact=exact_blur)
+    images = jnp.transpose(blurred, (0, 2, 3, 1))
+    gt_boxes = batch.gt_boxes
+    if expand_target_boxes:
+        gt_boxes = jax.vmap(
+            lambda b, p, on, s: expand_boxes_by_psf(b, p, on, s[0], s[1])
+        )(batch.gt_boxes, batch.psfs, batch.blurring, batch.hw)
+    return batch._replace(images=images, gt_boxes=gt_boxes)
+
+
+def derive_warp_params(batch: BlurBatch) -> BlurBatch:
+    """Squint warp params from the PSFs on-device (the reference computes
+    this PCA per image in dataloader workers, transforms.py:364-385);
+    non-blurred images get the identity (theta 0, lambda 1)."""
+    from detectinblur_tpu.ops.psf import psf_principal_components
+
+    comps = jax.vmap(psf_principal_components)(batch.psfs)
+    on = batch.blurring
+    return batch._replace(
+        thetas=jnp.where(on, comps.theta_rad, 0.0),
+        lam1s=jnp.where(on, comps.scale_factor_lambda1, 1.0),
+        lam2s=jnp.where(on, comps.scale_factor_lambda2, 1.0),
+    )
+
+
+def make_train_step(
+    model: FasterRCNN,
+    tx: optax.GradientTransformation,
+    bucket: Tuple[int, int],
+    blur_train: bool = True,
+    expand_target_boxes: bool = False,
+    use_warp: bool = False,
+    use_custom_norm: bool = False,
+):
+    """Build the jitted train step: (state, batch, key) -> (state, metrics)."""
+
+    def step(state: TrainState, batch: BlurBatch, key: jax.Array):
+        if blur_train:
+            batch = apply_blur_and_expand(batch, expand_target_boxes)
+        if use_warp:
+            batch = derive_warp_params(batch)
+
+        means, stds = _blur_norms(batch, use_custom_norm)
+
+        def loss_fn(params):
+            losses = model.loss(
+                params, key, batch.images, batch.hw,
+                batch.gt_boxes, batch.gt_labels, batch.gt_valid,
+                bucket=bucket, means=means, stds=stds,
+                thetas=batch.thetas if use_warp else None,
+                lam1s=batch.lam1s if use_warp else None,
+                lam2s=batch.lam2s if use_warp else None,
+            )
+            return sum(losses.values()), losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def _blur_norms(batch: BlurBatch, use_custom_norm: bool):
+    """Blur-conditional input normalization (utils.py:219-273): blurred
+    images normalize with measured per-(type, exposure) stds."""
+    if not use_custom_norm:
+        return None, None
+    from detectinblur_tpu.ops.normalization import get_norm_params
+
+    return get_norm_params(batch.blurring, batch.param_index, batch.fraction_index)
+
+
+def make_eval_step(
+    model: FasterRCNN,
+    bucket: Tuple[int, int],
+    blur_eval: bool = False,
+    expand_target_boxes: bool = False,
+    use_warp: bool = False,
+    use_custom_norm: bool = False,
+):
+    """Build the jitted eval step: batch -> (Detections, expanded_gt)."""
+
+    def step(params, batch: BlurBatch):
+        if blur_eval:
+            batch = apply_blur_and_expand(batch, expand_target_boxes)
+        if use_warp:
+            batch = derive_warp_params(batch)
+        means, stds = _blur_norms(batch, use_custom_norm)
+        dets = model.predict(
+            params, batch.images, batch.hw, bucket=bucket, means=means, stds=stds,
+            thetas=batch.thetas if use_warp else None,
+            lam1s=batch.lam1s if use_warp else None,
+            lam2s=batch.lam2s if use_warp else None,
+        )
+        return dets, batch.gt_boxes
+
+    return jax.jit(step)

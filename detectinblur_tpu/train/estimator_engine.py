@@ -1,0 +1,124 @@
+"""Blur-estimator train/eval engine (engine_blur_estimator.py equivalent).
+
+Per step: device blur (optionally resized to min-side 800 first, matching
+the estimator's own manual_blur variant, engine_blur_estimator.py:27-70),
+optional noise/block/JPEG/quantize corruptions (:201-219), labels from the
+blur struct (:98-129), cross-entropy (with optional label smoothing,
+train_blur_estimator.py:97-112), SGD — one jitted program.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from detectinblur_tpu.models.classifier import (
+    ResNetClassifier,
+    estimator_label,
+    estimator_label_lehe,
+)
+from detectinblur_tpu.models.detection_transform import preprocess_batch
+from detectinblur_tpu.ops.blur import batched_blur
+from detectinblur_tpu.ops.jpeg import jpeg_compress_decompress
+from detectinblur_tpu.train.engine import BlurBatch
+from detectinblur_tpu.train.state import TrainState
+
+
+def apply_corruptions(key, images, add_noise=False, noise_level=0.001,
+                      add_block=False, add_jpeg=False, quantize=False):
+    """Noise / block / JPEG / quantize corruption chain
+    (blur_functions.py:72-88, engine_blur_estimator.py:201-219).
+    images [B, H, W, 3] in 0..1."""
+    kn, kv, kb, kbs, kj, kjq = jax.random.split(key, 6)
+    if add_noise:
+        var = jax.random.uniform(kv, (), minval=1e-8, maxval=noise_level)
+        noise = jax.random.normal(kn, images.shape) * jnp.sqrt(var)
+        images = jnp.clip(images + noise, 0.0, 1.0)
+    if add_block:
+        do = jax.random.uniform(kb) > 0.5
+        sf = jax.random.uniform(kbs, (), minval=0.6, maxval=1.0)
+        H, W = images.shape[1:3]
+        # Nearest down/up via index gather (dynamic scale, static shapes).
+        ys = jnp.clip(jnp.floor(jnp.arange(H) / sf) * sf, 0, H - 1).astype(jnp.int32)
+        xs = jnp.clip(jnp.floor(jnp.arange(W) / sf) * sf, 0, W - 1).astype(jnp.int32)
+        blocked = images[:, ys][:, :, xs]
+        images = jnp.where(do, blocked, images)
+    if add_jpeg:
+        do = jax.random.uniform(kj) > 0.35
+        q = jax.random.uniform(kjq, (), minval=20.0, maxval=90.0)
+        compressed = jax.vmap(lambda im: jpeg_compress_decompress(im, q))(images)
+        images = jnp.where(do, compressed, images)
+    if quantize:
+        images = jnp.round(images * 255.0) / 255.0
+    return images
+
+
+def make_estimator_train_step(
+    classifier: ResNetClassifier,
+    tx: optax.GradientTransformation,
+    bucket: Tuple[int, int],
+    lehe: bool = False,
+    label_smoothing: float = 0.0,
+    add_noise: bool = False,
+    noise_level: float = 0.001,
+    add_block: bool = False,
+    add_jpeg: bool = False,
+    quantize: bool = False,
+):
+    label_fn = estimator_label_lehe if lehe else estimator_label
+
+    def step(state: TrainState, stats, batch: BlurBatch, key: jax.Array):
+        kc, _ = jax.random.split(key)
+        chw = jnp.transpose(batch.images, (0, 3, 1, 2))
+        blurred = batched_blur(chw, batch.psfs, batch.blurring)
+        images = jnp.transpose(blurred, (0, 2, 3, 1))
+        images = apply_corruptions(kc, images, add_noise, noise_level,
+                                   add_block, add_jpeg, quantize)
+        imgs, _ = preprocess_batch(images, batch.hw, bucket)
+        labels = label_fn(batch.blurring, batch.param_index, batch.fraction_index)
+
+        def loss_fn(params):
+            logits, new_stats = classifier.apply(
+                {"params": params, "batch_stats": stats}, imgs,
+                mutable=["batch_stats"],
+            )
+            nc = logits.shape[-1]
+            onehot = jax.nn.one_hot(labels, nc)
+            if label_smoothing > 0:
+                onehot = onehot * (1 - label_smoothing) + label_smoothing / nc
+            loss = optax.softmax_cross_entropy(logits, onehot).mean()
+            acc = (jnp.argmax(logits, -1) == labels).mean()
+            return loss, (new_stats["batch_stats"], acc)
+
+        (loss, (new_stats, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(state.step + 1, params, opt_state), new_stats,
+                {"loss": loss, "top1": acc})
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_estimator_eval_step(classifier: ResNetClassifier,
+                             bucket: Tuple[int, int], lehe: bool = False):
+    label_fn = estimator_label_lehe if lehe else estimator_label
+
+    def step(variables, batch: BlurBatch, key: jax.Array):
+        chw = jnp.transpose(batch.images, (0, 3, 1, 2))
+        blurred = batched_blur(chw, batch.psfs, batch.blurring)
+        images = jnp.transpose(blurred, (0, 2, 3, 1))
+        imgs, _ = preprocess_batch(images, batch.hw, bucket)
+        logits = classifier.apply(variables, imgs)
+        labels = label_fn(batch.blurring, batch.param_index, batch.fraction_index)
+        top2 = jax.lax.top_k(logits, 2)[1]
+        return {
+            "pred": jnp.argmax(logits, -1),
+            "label": labels,
+            "top2_hit": jnp.any(top2 == labels[:, None], axis=1),
+        }
+
+    return jax.jit(step)

@@ -1,0 +1,159 @@
+"""COCO evaluation loop (host orchestration around the jitted eval step).
+
+Mirrors engine.evaluate (engine.py:220-416): batch-1 protocol, device-side
+blur + box expansion, optional expanded-GT rewrite of the cocoGt
+annotations (engine.py:325-342 — rewritten positionally against imgToAnns,
+reproducing the reference's behavior including its tolerance of count
+mismatches), detection collection as COCO results, cross-host merge, then
+accumulate + 19-stat summarize.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from detectinblur_tpu.eval.coco_eval import COCOEval, STAT_NAMES
+from detectinblur_tpu.eval.coco_index import COCOIndex
+from detectinblur_tpu.utils.metric_logger import MetricLogger
+
+
+def dataset_to_coco_index(dataset) -> COCOIndex:
+    """convert_to_coco_api equivalent (coco_utils.py:147-211) for datasets
+    without a native COCO index."""
+    images, annotations, cats = [], [], set()
+    aid = 1
+    for i in range(len(dataset)):
+        item = dataset[i]
+        h, w = item["image"].shape[:2]
+        images.append({"id": item["image_id"], "height": h, "width": w})
+        for b, lab, area, crowd in zip(item["boxes"], item["labels"],
+                                       item["area"], item["iscrowd"]):
+            annotations.append({
+                "id": aid,
+                "image_id": item["image_id"],
+                "category_id": int(lab),
+                "bbox": [float(b[0]), float(b[1]),
+                         float(b[2] - b[0]), float(b[3] - b[1])],
+                "area": float(area),
+                "iscrowd": int(crowd),
+            })
+            cats.add(int(lab))
+            aid += 1
+    return COCOIndex({
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": c} for c in sorted(cats)],
+    })
+
+
+def rewrite_expanded_gt(coco_gt: COCOIndex, image_id: int,
+                        expanded_xyxy: np.ndarray, n_valid: int) -> int:
+    """Positional bbox rewrite (engine.py:325-342). Returns faulty count."""
+    anns = coco_gt.img_to_anns[image_id]
+    faulty = 0
+    for k, ann in enumerate(anns):
+        if k >= n_valid:
+            faulty += 1
+            continue
+        b = expanded_xyxy[k]
+        ann["bbox"] = [float(b[0]), float(b[1]),
+                       float(b[2] - b[0]), float(b[3] - b[1])]
+    return faulty
+
+
+def collect_detections(dets, image_ids, results: List[dict]):
+    """Append COCO result dicts from a Detections batch (xyxy -> xywh,
+    CocoEvaluator.prepare_for_coco_detection semantics)."""
+    boxes = np.asarray(dets.boxes)
+    scores = np.asarray(dets.scores)
+    labels = np.asarray(dets.labels)
+    valid = np.asarray(dets.valid)
+    for i, img_id in enumerate(image_ids):
+        for b, s, l, v in zip(boxes[i], scores[i], labels[i], valid[i]):
+            if not v:
+                continue
+            results.append({
+                "image_id": int(img_id),
+                "category_id": int(l),
+                "bbox": [float(b[0]), float(b[1]),
+                         float(b[2] - b[0]), float(b[3] - b[1])],
+                "score": float(s),
+            })
+
+
+def merge_results_across_hosts(results: List[dict]) -> List[dict]:
+    """Cross-host eval merge (utils.py:536-576 / coco_eval.py:182-201
+    equivalent), via process_allgather of a fixed-shape array."""
+    if jax.process_count() == 1:
+        return results
+    from jax.experimental import multihost_utils
+
+    arr = np.zeros((len(results), 7), np.float64)
+    for i, r in enumerate(results):
+        arr[i] = [r["image_id"], r["category_id"], *r["bbox"], r["score"]]
+    # Pad to the max count across hosts.
+    counts = multihost_utils.process_allgather(np.array([len(results)]))
+    m = int(counts.max())
+    pad = np.full((m - len(results), 7), -1.0)
+    gathered = multihost_utils.process_allgather(np.concatenate([arr, pad]))
+    out = []
+    for host in gathered:
+        for row in host:
+            if row[0] < 0:
+                continue
+            out.append({
+                "image_id": int(row[0]), "category_id": int(row[1]),
+                "bbox": row[2:6].tolist(), "score": float(row[6]),
+            })
+    return out
+
+
+def evaluate_coco(
+    eval_step,
+    params,
+    loader,
+    coco_gt: COCOIndex,
+    expand_target_boxes: bool = False,
+    print_freq: int = 100,
+    early_stop: Optional[int] = None,
+    header: str = "Test:",
+) -> np.ndarray:
+    """Run the loop; returns the 19-stat vector (AP first — the reference's
+    patched summarize, coco_eval.py:506-528)."""
+    results: List[dict] = []
+    gt = coco_gt
+    if expand_target_boxes:
+        gt = COCOIndex(copy.deepcopy(coco_gt.dataset))
+
+    logger = MetricLogger()
+    faulty = 0
+    for it, (batch, bucket, image_ids) in enumerate(
+        logger.log_every(loader, print_freq, header)
+    ):
+        if early_stop is not None and it >= early_stop:
+            break
+        dets, expanded_gt = eval_step(params, batch)
+        collect_detections(dets, image_ids, results)
+        if expand_target_boxes:
+            eg = np.asarray(expanded_gt)
+            nv = np.asarray(batch.gt_valid).sum(axis=1)
+            for i, img_id in enumerate(image_ids):
+                faulty += rewrite_expanded_gt(gt, int(img_id), eg[i], int(nv[i]))
+    if faulty:
+        print(f"expanded-GT rewrite: {faulty} faulty boxes")
+
+    results = merge_results_across_hosts(results)
+    if not results:
+        print("no detections produced")
+        return np.full(len(STAT_NAMES), -1.0)
+    dt = gt.load_res(results)
+    ev = COCOEval(gt, dt, "bbox")
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    ev.print_summary()
+    return stats

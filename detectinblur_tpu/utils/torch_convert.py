@@ -1,0 +1,158 @@
+"""Convert torchvision Faster R-CNN checkpoints to detectinblur_tpu params.
+
+The reference loads torchvision's released ``fasterrcnn_resnet50_fpn_coco``
+weights (models/faster_rcnn.py:295-298,360-372) and saves its own
+checkpoints as ``{model, optimizer, lr_scheduler, args, epoch}`` dicts
+(train.py:332-339). This module maps a torch ``state_dict`` (as numpy
+arrays) onto the param pytree produced by
+``detectinblur_tpu.models.faster_rcnn.FasterRCNN.init``:
+
+  * conv weights OIHW -> HWIO,
+  * linear weights [out, in] -> [in, out],
+  * FrozenBatchNorm (weight, bias, running_mean, running_var) folded into
+    the affine (scale, bias) pair used by models.resnet.FrozenBatchNorm,
+  * torchvision naming differences across versions (``inner_blocks.0`` vs
+    ``inner_blocks.0.0``, ``rpn.head.conv`` vs ``rpn.head.conv.0.0``)
+    handled transparently.
+
+No torch import is required here — pass any mapping of name -> np.ndarray
+(use ``load_torch_state_dict`` for .pth files when torch is available).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj:
+        obj = obj["model"]  # reference checkpoint layout (train.py:332-339)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()}
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _fold_frozen_bn(sd: Mapping[str, np.ndarray], prefix: str, eps: float):
+    gamma = sd[f"{prefix}.weight"]
+    beta = sd[f"{prefix}.bias"]
+    mean = sd[f"{prefix}.running_mean"]
+    var = sd[f"{prefix}.running_var"]
+    scale = gamma / np.sqrt(var + eps)
+    bias = beta - mean * scale
+    return {"scale": scale.astype(np.float32), "bias": bias.astype(np.float32)}
+
+
+def _get(sd: Mapping[str, np.ndarray], *candidates: str) -> np.ndarray:
+    for c in candidates:
+        if c in sd:
+            return sd[c]
+    raise KeyError(f"none of {candidates} found in state dict")
+
+
+def convert_fasterrcnn_state_dict(
+    sd: Mapping[str, np.ndarray],
+    arch: str = "resnet50",
+    bn_eps: float = 0.0,
+) -> Dict:
+    """Build the detectinblur_tpu param tree from a torchvision
+    fasterrcnn_{arch}_fpn state dict."""
+    from detectinblur_tpu.models.resnet import RESNET_SPECS
+
+    _, layers = RESNET_SPECS[arch]
+    body: Dict = {}
+    body["conv1"] = {"kernel": _conv_kernel(sd["backbone.body.conv1.weight"])}
+    body["bn1"] = _fold_frozen_bn(sd, "backbone.body.bn1", bn_eps)
+
+    for li, n_blocks in enumerate(layers, start=1):
+        for b in range(n_blocks):
+            p = f"backbone.body.layer{li}.{b}"
+            blk: Dict = {}
+            convs = 3 if f"{p}.conv3.weight" in sd else 2
+            for c in range(1, convs + 1):
+                blk[f"conv{c}"] = {"kernel": _conv_kernel(sd[f"{p}.conv{c}.weight"])}
+                blk[f"bn{c}"] = _fold_frozen_bn(sd, f"{p}.bn{c}", bn_eps)
+            if f"{p}.downsample.0.weight" in sd:
+                blk["downsample_0"] = {
+                    "kernel": _conv_kernel(sd[f"{p}.downsample.0.weight"])
+                }
+                blk["downsample_1"] = _fold_frozen_bn(sd, f"{p}.downsample.1", bn_eps)
+            body[f"layer{li}_{b}"] = blk
+
+    fpn: Dict = {}
+    for i in range(4):
+        iw = _get(sd, f"backbone.fpn.inner_blocks.{i}.weight",
+                  f"backbone.fpn.inner_blocks.{i}.0.weight")
+        ib = _get(sd, f"backbone.fpn.inner_blocks.{i}.bias",
+                  f"backbone.fpn.inner_blocks.{i}.0.bias")
+        lw = _get(sd, f"backbone.fpn.layer_blocks.{i}.weight",
+                  f"backbone.fpn.layer_blocks.{i}.0.weight")
+        lb = _get(sd, f"backbone.fpn.layer_blocks.{i}.bias",
+                  f"backbone.fpn.layer_blocks.{i}.0.bias")
+        fpn[f"inner_{i}"] = {"kernel": _conv_kernel(iw), "bias": ib}
+        fpn[f"layer_{i}"] = {"kernel": _conv_kernel(lw), "bias": lb}
+
+    rpn_head = {
+        "conv": {
+            "kernel": _conv_kernel(_get(sd, "rpn.head.conv.weight",
+                                        "rpn.head.conv.0.0.weight")),
+            "bias": _get(sd, "rpn.head.conv.bias", "rpn.head.conv.0.0.bias"),
+        },
+        "cls_logits": {
+            "kernel": _conv_kernel(sd["rpn.head.cls_logits.weight"]),
+            "bias": sd["rpn.head.cls_logits.bias"],
+        },
+        "bbox_pred": {
+            "kernel": _conv_kernel(sd["rpn.head.bbox_pred.weight"]),
+            "bias": sd["rpn.head.bbox_pred.bias"],
+        },
+    }
+
+    def dense(prefix):
+        return {
+            "kernel": np.transpose(sd[f"{prefix}.weight"]),
+            "bias": sd[f"{prefix}.bias"],
+        }
+
+    box_head = {"fc6": dense("roi_heads.box_head.fc6"),
+                "fc7": dense("roi_heads.box_head.fc7")}
+    box_predictor = {"cls_score": dense("roi_heads.box_predictor.cls_score"),
+                     "bbox_pred": dense("roi_heads.box_predictor.bbox_pred")}
+
+    import jax.numpy as jnp
+    import jax
+
+    tree = {
+        "backbone": {"body": body, "fpn": fpn},
+        "rpn_head": rpn_head,
+        "box_head": box_head,
+        "box_predictor": box_predictor,
+    }
+    return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), tree)
+
+
+def assert_tree_shapes_match(converted, initialized) -> None:
+    """Raise if the converted tree doesn't structurally match init()'s."""
+    import jax
+
+    c_paths = {tuple(str(k.key) for k in p): v.shape
+               for p, v in jax.tree_util.tree_flatten_with_path(converted)[0]}
+    i_paths = {tuple(str(k.key) for k in p): v.shape
+               for p, v in jax.tree_util.tree_flatten_with_path(initialized)[0]}
+    missing = set(i_paths) - set(c_paths)
+    extra = set(c_paths) - set(i_paths)
+    if missing or extra:
+        raise ValueError(f"param tree mismatch: missing={sorted(missing)[:5]} "
+                         f"extra={sorted(extra)[:5]}")
+    bad = [(p, c_paths[p], i_paths[p]) for p in c_paths if c_paths[p] != i_paths[p]]
+    if bad:
+        raise ValueError(f"shape mismatches: {bad[:5]}")
