@@ -1,0 +1,110 @@
+"""Dataset preparation tools (dataset_utils/ equivalents).
+
+  * render-gopro-synth: render the GOPROSynth frame-averaged blur set to
+    disk (blur/ + sharp/ pngs + pickled targets, capped at 7000 images —
+    dataset_utils/generate_GOPRO_blur_set.py:26-62).
+  * segment-gopro: write 90/10 estimator train/val split lists of
+    "imagePath,annotationPath" lines (segment_GOPRO.py:44-82).
+  * segment-reds: cull images with no above-threshold DORS boxes (keeping
+    at most 20 empty ones), cap at 5000, write blurry.txt/sharp.txt
+    (segment_REDS.py:47-102).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import pickle
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+
+def render_gopro_synth(args):
+    from detectinblur_tpu.data.natural_datasets import GOPROSynth
+
+    ds = GOPROSynth(args.root_dir, window=args.window,
+                    expand_boxes=args.expand_boxes)
+    os.makedirs(os.path.join(args.output_dir, "blur"), exist_ok=True)
+    os.makedirs(os.path.join(args.output_dir, "sharp"), exist_ok=True)
+    for i in range(min(len(ds), args.limit)):
+        item = ds[i]
+        img = Image.fromarray((item["image"] * 255).astype(np.uint8))
+        img.save(os.path.join(args.output_dir, f"blur/{i:05d}.png"))
+        with open(os.path.join(args.output_dir, f"blur/{i:05d}.dat"), "wb") as f:
+            pickle.dump({k: item[k] for k in ("boxes", "labels", "area", "iscrowd")}, f)
+        if i % 100 == 0:
+            print(f"rendered {i}/{min(len(ds), args.limit)}")
+
+
+def segment_gopro(args):
+    rng = np.random.default_rng(1337)
+    pairs = []
+    for p in sorted(Path(args.root_dir).rglob("*.png")):
+        ann = str(p).replace(".png", ".dat")
+        if os.path.exists(ann):
+            pairs.append((str(p), ann))
+    rng.shuffle(pairs)
+    cut = math.ceil(0.9 * len(pairs))
+    for name, chunk in (("trainSplit.txt", pairs[:cut]), ("valSplit.txt", pairs[cut:])):
+        with open(os.path.join(args.root_dir, name), "w") as f:
+            for img, ann in chunk:
+                f.write(f"{img},{ann}\n")
+    print(f"{len(pairs)} pairs -> {cut} train / {len(pairs) - cut} val")
+
+
+def segment_reds(args):
+    allowed_empty = 20
+    empty = 0
+    kept = []
+    for p in sorted(Path(args.root_dir).rglob("*.png")):
+        if "blur" not in str(p):
+            continue
+        ann = str(p).replace("blur", "sharp").replace(".png", "_DORS.npy")
+        if not os.path.exists(ann):
+            continue
+        with open(ann, "rb") as f:
+            annotations = np.load(f, allow_pickle=True)
+        n = sum(int((np.asarray(a).reshape(-1, 5)[:, 4] > args.threshold).sum())
+                for a in annotations)
+        if n == 0:
+            empty += 1
+            if empty > allowed_empty:
+                continue
+        kept.append(str(p))
+    kept = kept[:5000]
+    with open(os.path.join(args.root_dir, "blurry.txt"), "w") as f:
+        f.write("\n".join(kept) + "\n")
+    with open(os.path.join(args.root_dir, "sharp.txt"), "w") as f:
+        f.write("\n".join(k.replace("blur", "sharp") for k in kept) + "\n")
+    print(f"kept {len(kept)} images ({empty} empty seen)")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render-gopro-synth")
+    r.add_argument("--root_dir", required=True)
+    r.add_argument("--output_dir", required=True)
+    r.add_argument("--window", type=int, default=5)
+    r.add_argument("--expand_boxes", action="store_true")
+    r.add_argument("--limit", type=int, default=7000)
+
+    g = sub.add_parser("segment-gopro")
+    g.add_argument("--root_dir", required=True)
+
+    s = sub.add_parser("segment-reds")
+    s.add_argument("--root_dir", required=True)
+    s.add_argument("--threshold", type=float, default=0.4)
+
+    args = p.parse_args(argv)
+    {"render-gopro-synth": render_gopro_synth,
+     "segment-gopro": segment_gopro,
+     "segment-reds": segment_reds}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

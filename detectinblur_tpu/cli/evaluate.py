@@ -29,14 +29,28 @@ from detectinblur_tpu.utils.torch_convert import (
 )
 
 
-def load_params(model, path: str):
+def load_params(model, path: str, frozen_bn=True, mode_one_n=0.0):
+    """Returns (params, bn_stats_or_None). For --mode_one_norm /
+    --unfrozen_batch_norm (.pth only), BN stays a real layer and running
+    stats come along with num_batches_tracked preset (evaluate.py:234-237
+    sets 16)."""
     if path.endswith(".pth"):
-        return convert_fasterrcnn_state_dict(load_torch_state_dict(path))
+        sd = load_torch_state_dict(path)
+        params = convert_fasterrcnn_state_dict(sd, frozen_bn=frozen_bn)
+        stats = None
+        if not frozen_bn:
+            from detectinblur_tpu.utils.torch_convert import (
+                convert_fasterrcnn_bn_stats,
+            )
+
+            stats = convert_fasterrcnn_bn_stats(sd, num_batches=mode_one_n)
+        return params, stats
     template = model.init(jax.random.key(0))
-    return restore_weights(path, template)
+    return restore_weights(path, template), None
 
 
-def run_cell(args, model, params, dataset_val, policy, psf_bank):
+def run_cell(args, model, params, dataset_val, policy, psf_bank,
+             ensemble=None, bn_stats=None):
     loader = DetectionLoader(
         dataset_val, 1, policy, psf_bank, shuffle=False,
         num_processes=jax.process_count(), process_index=jax.process_index(),
@@ -45,21 +59,51 @@ def run_cell(args, model, params, dataset_val, policy, psf_bank):
     blur = policy.prob > 0
     eval_steps = {}
 
-    def eval_step(p, batch):
-        b = batch.images.shape[1:3]
-        if b not in eval_steps:
-            eval_steps[b] = make_eval_step(
-                model, model_bucket_for(b), blur_eval=blur,
-                expand_target_boxes=args.expand_target_boxes and blur,
-                use_warp=args.warp_in_model,
-                use_custom_norm=args.use_custom_image_norm,
-            )
-        return eval_steps[b](p, batch)
+    deblur_vars = None
+    if args.deblur_first and args.deblurer_model_location:
+        from detectinblur_tpu.models.deblur import convert_deepdeblur_state_dict
+        from detectinblur_tpu.utils.torch_convert import load_torch_state_dict
+
+        deblur_vars = convert_deepdeblur_state_dict(
+            load_torch_state_dict(args.deblurer_model_location))
+
+    if ensemble is not None:
+        # LEHE / 16-class estimator-gated specialist dispatch
+        # (engine.py:353-366) as one jitted graph per bucket.
+        from detectinblur_tpu.models.ensemble import make_ensemble_predict
+
+        stacked, estimator, est_vars, lehe = ensemble
+
+        def eval_step(_p, batch):
+            b = batch.images.shape[1:3]
+            if b not in eval_steps:
+                eval_steps[b] = make_ensemble_predict(
+                    model, model_bucket_for(b), estimator, lehe=lehe)
+            dets, _idx = eval_steps[b](stacked, est_vars, batch)
+            return dets, batch.gt_boxes
+    else:
+        def eval_step(p, batch):
+            b = batch.images.shape[1:3]
+            if b not in eval_steps:
+                eval_steps[b] = make_eval_step(
+                    model, model_bucket_for(b), blur_eval=blur,
+                    expand_target_boxes=args.expand_target_boxes and blur,
+                    use_warp=args.warp_in_model,
+                    use_custom_norm=args.use_custom_image_norm,
+                    deblur_vars=deblur_vars,
+                    add_noise=args.add_noise, noise_level=args.noise_level,
+                    add_block=args.add_block,
+                    add_jpeg=args.add_jpeg_artefacts,
+                    dilate_psf=args.dilate_psf,
+                    bn_stats=bn_stats,
+                )
+            return eval_steps[b](p, batch)
 
     return evaluate_coco(
         eval_step, params, loader, dataset_val.index,
         expand_target_boxes=args.expand_target_boxes and blur,
         early_stop=args.early_stop,
+        image_output_dir=args.image_output_dir,
     )
 
 
@@ -69,21 +113,83 @@ def main(argv=None):
     mesh = make_mesh()
     writer = ScalarWriter(args.tensorboard_path)
 
-    model = build_model(args)
-    if args.resume:
-        params = load_params(model, args.resume)
+    bn_mode = "mode_one" if args.mode_one_norm else (
+        "train" if args.unfrozen_batch_norm else None)
+    model = build_model(args, bn_mode=bn_mode)
+    bn_stats = None
+    ensemble = None
+    if args.use_ensemble:
+        # Build the 4-specialist stack + optional estimator
+        # (evaluate.py:159-205). Without an estimator path the oracle
+        # dispatch by true blur params is used.
+        from detectinblur_tpu.models.classifier import ResNetClassifier
+        from detectinblur_tpu.models.ensemble import stack_params
+
+        assert args.ensemble_model_paths and len(args.ensemble_model_paths) == 4
+        trees = [load_params(model, p)[0] for p in args.ensemble_model_paths]
+        stacked = stack_params(trees)
+        params = trees[0]
+        estimator = est_vars = None
+        if args.blur_estimator_path:
+            n_classes = 4 if args.LEHE else 16
+            estimator = ResNetClassifier("resnet18", n_classes, bn_mode="eval")
+            from detectinblur_tpu.train.checkpoint import restore_weights
+
+            template = estimator.init(
+                jax.random.key(0), np.zeros((1, 224, 224, 3), np.float32))
+            est_vars = restore_weights(args.blur_estimator_path, template)
+        ensemble = (stacked, estimator, est_vars, args.LEHE)
+    elif args.resume:
+        params, bn_stats = load_params(model, args.resume,
+                                       frozen_bn=(bn_mode is None),
+                                       mode_one_n=16.0)
     elif args.start_from_weights:
-        params = load_params(model, args.start_from_weights)
+        params, bn_stats = load_params(model, args.start_from_weights,
+                                       frozen_bn=(bn_mode is None),
+                                       mode_one_n=16.0)
     else:
         print("no checkpoint given; evaluating random weights")
         params = model.init(jax.random.key(0))
+
+    if args.blurred_dataset:
+        # Natural-blur eval: the dataset is pre-blurred; one plain eval pass
+        # (evaluate.py:250-290).
+        from detectinblur_tpu.data.natural_datasets import get_natural_dataset
+        from detectinblur_tpu.train.eval_loop import dataset_to_coco_index
+
+        ds = get_natural_dataset(args.blurred_dataset, args.data_path,
+                                 expand_boxes=args.expand_synth_boxes
+                                 if args.blurred_dataset == "GOPROSynth" else False)
+        coco_gt = dataset_to_coco_index(ds)
+        loader = DetectionLoader(ds, 1, BlurPolicy(prob=0.0), None,
+                                 shuffle=False, drop_last=False,
+                                 source_buckets=((736, 1312),),
+                                 num_processes=jax.process_count(),
+                                 process_index=jax.process_index())
+        eval_steps = {}
+
+        def eval_step(p, batch):
+            b = batch.images.shape[1:3]
+            if b not in eval_steps:
+                eval_steps[b] = make_eval_step(model, model_bucket_for(b))
+            return eval_steps[b](p, batch)
+
+        from detectinblur_tpu.train.eval_loop import evaluate_coco
+
+        with mesh:
+            stats = evaluate_coco(eval_step, params, loader, coco_gt,
+                                  early_stop=args.early_stop)
+        for name, value in zip(BLUR_STAT_TAGS, stats[:12]):
+            writer.add_scalar(f"{args.blurred_dataset}/{name}", float(value), 0)
+        writer.close()
+        return stats
 
     dataset_val = get_coco(args.data_path, "val")
 
     with mesh:
         if args.vanilla_eval or not args.blur_eval:
             stats = run_cell(args, model, params, dataset_val,
-                             BlurPolicy(prob=0.0), None)
+                             BlurPolicy(prob=0.0), None, ensemble, bn_stats)
             for name, value in zip(BLUR_STAT_TAGS, stats[:12]):
                 writer.add_scalar(f"Normal/{name}", float(value), 0)
             writer.close()
@@ -99,7 +205,8 @@ def main(argv=None):
             for fi, fraction in enumerate(EVAL_FRACTIONS[1:], start=1):
                 policy = BlurPolicy(prob=1.0, blur_type=param,
                                     blur_exposure=fraction)
-                stats = run_cell(args, model, params, dataset_val, policy, bank)
+                stats = run_cell(args, model, params, dataset_val, policy, bank,
+                                 ensemble, bn_stats)
                 all_stats[(pi, fi)] = stats
                 for name, value in zip(BLUR_STAT_TAGS, stats[:12]):
                     writer.add_scalar(f"P{pi}/{name}", float(value), fi)

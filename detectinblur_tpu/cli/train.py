@@ -36,12 +36,13 @@ BLUR_STAT_TAGS = ["AveragePrecision", "AP50", "AP75", "APSmall", "APMedium",
                   "ARLarge"]
 
 
-def build_model(args) -> FasterRCNN:
+def build_model(args, bn_mode=None) -> FasterRCNN:
     if args.model != "fasterrcnn_resnet50_fpn":
         raise NotImplementedError(
             f"round-1 CLI supports fasterrcnn_resnet50_fpn; {args.model} "
-            "is available via models.classifier/versatile backbones")
-    cfg = FasterRCNNConfig(warp_internally=args.warp_in_model)
+            "is available via models.backbones.SingleMapFasterRCNN")
+    cfg = FasterRCNNConfig(warp_internally=args.warp_in_model,
+                           bn_mode=bn_mode)
     return FasterRCNN(cfg)
 
 
@@ -88,14 +89,26 @@ def main(argv=None):
         print(f"generating device PSF bank ({bank_size}/bin)...")
         psf_bank = generate_psf_bank(jax.random.key(7), bank_size=min(bank_size, 2048))
 
+    augmix_cfg = None
+    if args.non_pos_aug_mix or args.include_pos_aug_mix:
+        augmix_cfg = dict(positional=args.include_pos_aug_mix,
+                          modify_target_boxes=args.aug_mix_target_expand)
+
     loader = DetectionLoader(
         dataset, args.batch_size, policy, psf_bank, shuffle=True,
         hflip_prob=0.5, num_processes=jax.process_count(),
-        process_index=jax.process_index(),
+        process_index=jax.process_index(), augmix=augmix_cfg,
     )
 
-    model = build_model(args)
+    bn_mode = "train" if args.unfrozen_batch_norm else None
+    model = build_model(args, bn_mode=bn_mode)
     params = load_initial_params(args, model)
+    bn_stats = None
+    if bn_mode is not None:
+        # Fresh stats (or converted from .pth by load_initial_params later).
+        variables = model.backbone.init(
+            jax.random.key(0), np.zeros((1, 96, 96, 3), np.float32))
+        bn_stats = {"backbone": variables.get("batch_stats", {})}
     tx, schedule = make_optimizer(
         base_lr=args.lr, steps_per_epoch=max(len(loader), 1),
         momentum=args.momentum, weight_decay=args.weight_decay,
@@ -122,6 +135,8 @@ def main(argv=None):
                 expand_target_boxes=args.expand_target_boxes,
                 use_warp=args.warp_in_model,
                 use_custom_norm=args.use_custom_image_norm,
+                add_noise=args.add_noise, noise_level=args.noise_level,
+                add_block=args.add_block, add_jpeg=args.add_jpeg_artefacts,
             )
         return steps[bucket]
 
@@ -135,7 +150,11 @@ def main(argv=None):
                 loader, args.print_freq, f"Epoch: [{epoch}]"
             ):
                 key = jax.random.fold_in(jax.random.key(1337), global_iter)
-                state, metrics = step_for(bucket)(state, batch, key)
+                if bn_mode is not None:
+                    state, bn_stats, metrics = step_for(bucket)(
+                        state, bn_stats, batch, key)
+                else:
+                    state, metrics = step_for(bucket)(state, batch, key)
                 if global_iter % args.print_freq == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     if not np.isfinite(m["loss"]):

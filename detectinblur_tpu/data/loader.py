@@ -32,20 +32,29 @@ class DetectionLoader:
         psf_bank: Optional[np.ndarray] = None,
         shuffle: bool = True,
         hflip_prob: float = 0.0,
-        source_buckets: Sequence[Tuple[int, int]] = DEFAULT_SOURCE_BUCKETS,
+        source_buckets: Optional[Sequence[Tuple[int, int]]] = None,
         seed: int = 1337,
         max_gt: int = 100,
         num_processes: int = 1,
         process_index: int = 0,
         prefetch: int = 2,
         drop_last: bool = True,
+        augmix: Optional[dict] = None,
     ):
+        """``augmix``: kwargs for data.augmix.augment_and_mix (positional,
+        modify_target_boxes, ...) — the --non_pos_aug_mix /
+        --include_pos_aug_mix / --aug_mix_target_expand flags."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.policy = policy or BlurPolicy(prob=0.0)
         self.psf_bank = psf_bank
         self.shuffle = shuffle
         self.hflip_prob = hflip_prob
+        if source_buckets is None:
+            # Resolved at runtime so tests can patch the module default.
+            from detectinblur_tpu.data import batching
+
+            source_buckets = batching.DEFAULT_SOURCE_BUCKETS
         self.buckets = tuple(source_buckets)
         self.seed = seed
         self.max_gt = max_gt
@@ -53,6 +62,7 @@ class DetectionLoader:
         self.process_index = process_index
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.augmix = augmix
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -80,6 +90,13 @@ class DetectionLoader:
         try:
             for i in self._epoch_indices():
                 item = self.dataset[int(i)]
+                if self.augmix is not None:
+                    from detectinblur_tpu.data.augmix import augment_and_mix
+
+                    mixed, boxes = augment_and_mix(
+                        item["image"], rng, boxes=item["boxes"], **self.augmix)
+                    item = dict(item, image=mixed,
+                                boxes=boxes if boxes is not None else item["boxes"])
                 if self.hflip_prob > 0 and rng.random() < self.hflip_prob:
                     item = hflip_item(item)
                 h, w = item["image"].shape[:2]
@@ -87,7 +104,14 @@ class DetectionLoader:
                 # Oversized images are center-cropped to the largest bucket.
                 if h > bucket[0] or w > bucket[1]:
                     item = dict(item, image=item["image"][: bucket[0], : bucket[1]])
-                dec = sample_blur_decision(rng, self.policy, bank_size)
+                if item.get("pre_blurred"):
+                    # Natural-blur images pass through the blur stage
+                    # untouched (transforms.py:225-235).
+                    from detectinblur_tpu.data.blur_sampling import BlurDecision
+
+                    dec = BlurDecision(False, -1, -1, 0)
+                else:
+                    dec = sample_blur_decision(rng, self.policy, bank_size)
                 pending[bucket].append((item, dec))
                 if len(pending[bucket]) == self.batch_size:
                     items, decs = zip(*pending[bucket])

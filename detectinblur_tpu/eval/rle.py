@@ -71,10 +71,23 @@ def frString(s: Union[bytes, str]) -> np.ndarray:
     return np.asarray(counts, dtype=np.int64)
 
 
+def _native():
+    from detectinblur_tpu.eval.native import get_lib
+
+    return get_lib()
+
+
 # ----------------------------------------------------------- encode/decode
 def encode(mask: np.ndarray) -> RLE:
     """Encode a [H, W] binary mask (column-major runs)."""
     h, w = mask.shape
+    lib = _native()
+    if lib is not None and mask.size:
+        flat = np.ascontiguousarray(
+            np.asfortranarray(mask).reshape(-1, order="F").astype(np.uint8))
+        buf = np.empty(mask.size + 1, np.uint32)
+        m = lib.rle_encode(flat, flat.size, buf)
+        return {"size": [h, w], "counts": buf[:m].tolist()}
     flat = np.asfortranarray(mask).reshape(-1, order="F").astype(bool)
     if flat.size == 0:
         return {"size": [h, w], "counts": [0]}
@@ -122,10 +135,30 @@ def merge(rles: Sequence[RLE], intersect: bool = False) -> RLE:
 
 # ----------------------------------------------------------- iou
 def _intersection_area(a: RLE, b: RLE) -> int:
+    lib = _native()
+    if lib is not None:
+        ca = _counts_list(a).astype(np.uint32)
+        cb = _counts_list(b).astype(np.uint32)
+        return int(lib.rle_intersection(ca, len(ca), cb, len(cb)))
     return area(merge([a, b], intersect=True))
 
 
 def iou_matrix(dts: Sequence[RLE], gts: Sequence[RLE], iscrowd) -> np.ndarray:
+    lib = _native()
+    if lib is not None and dts and gts:
+        def pack(rles):
+            counts = [_counts_list(r).astype(np.uint32) for r in rles]
+            lens = np.asarray([len(c) for c in counts], np.int32)
+            offs = np.zeros(len(counts), np.int64)
+            offs[1:] = np.cumsum(lens[:-1])
+            return np.concatenate(counts), offs, lens
+
+        dc, do, dl = pack(dts)
+        gc, go, gl = pack(gts)
+        out = np.zeros(len(dts) * len(gts), np.float64)
+        crowd = np.asarray(iscrowd, np.uint8)
+        lib.rle_iou_matrix(dc, do, dl, len(dts), gc, go, gl, len(gts), crowd, out)
+        return out.reshape(len(dts), len(gts))
     out = np.zeros((len(dts), len(gts)))
     for j, g in enumerate(gts):
         ga = area(g)

@@ -32,15 +32,19 @@ def cell_anchors(sizes: Sequence[float], ratios: Sequence[float]) -> np.ndarray:
 def grid_anchors(
     feature_shapes: Tuple[Tuple[int, int], ...],
     image_size: Tuple[int, int],
+    sizes: Tuple[Tuple[float, ...], ...] = ANCHOR_SIZES,
+    ratios: Tuple[Tuple[float, ...], ...] = ASPECT_RATIOS,
 ) -> Tuple[np.ndarray, ...]:
     """Per-level anchors [H*W*A, 4] for the given (static) feature shapes.
 
     Strides are image_size // feature_size per torchvision. Anchor ordering
-    is (y, x, anchor) fastest-last, matching the head's NHWC reshape.
+    is (y, x, anchor) fastest-last, matching the head's NHWC reshape. For
+    single-feature-map models pass one level with all 5 sizes
+    (versatile_backbone_models.py:31-96 semantics).
     """
     out = []
     for lvl, (fh, fw) in enumerate(feature_shapes):
-        base = cell_anchors(ANCHOR_SIZES[lvl], ASPECT_RATIOS[lvl])
+        base = cell_anchors(sizes[lvl], ratios[lvl])
         stride_y = image_size[0] // fh
         stride_x = image_size[1] // fw
         shifts_x = np.arange(fw, dtype=np.float32) * stride_x

@@ -53,6 +53,10 @@ class FasterRCNNConfig(NamedTuple):
     rpn: RPNConfig = RPNConfig()
     box: BoxHeadConfig = BoxHeadConfig()
     warp_internally: bool = False
+    # None = FrozenBN affine (torchvision default). A mode string selects
+    # real AdaptiveBatchNorm in the backbone (--unfrozen_batch_norm /
+    # --mode_one_norm / acclimation, models/batchnorm.py remedies).
+    bn_mode: Optional[str] = None
 
 
 class Detections(NamedTuple):
@@ -68,7 +72,17 @@ class FasterRCNN:
 
     def __init__(self, config: FasterRCNNConfig = FasterRCNNConfig()):
         self.cfg = config
-        self.backbone = ResNetFPN(arch=config.arch)
+        if config.bn_mode is None:
+            self.backbone = ResNetFPN(arch=config.arch)
+        else:
+            import functools
+
+            from detectinblur_tpu.models.batchnorm import AdaptiveBatchNorm
+
+            self.backbone = ResNetFPN(
+                arch=config.arch,
+                norm=functools.partial(AdaptiveBatchNorm, mode=config.bn_mode),
+            )
         self.rpn_head = RPNHead()
         self.box_head = TwoMLPHead()
         self.box_predictor = FastRCNNPredictor(config.num_classes)
@@ -93,15 +107,29 @@ class FasterRCNN:
 
     # ------------------------------------------------------------ features
     def _features(self, params, images, thetas=None, lam1s=None, lam2s=None,
-                  kill_warp=False, train=False):
+                  kill_warp=False, train=False, bn_stats=None):
         if self.cfg.warp_internally and not kill_warp:
             images = squint_warp(images, thetas, lam1s, lam2s)
-        feats = self.backbone.apply({"params": params["backbone"]}, images,
-                                    train=train)
+        variables = {"params": params["backbone"]}
+        mutable = False
+        if self.cfg.bn_mode is not None:
+            assert bn_stats is not None, "bn_mode set but no bn_stats passed"
+            variables["batch_stats"] = bn_stats["backbone"]
+            mutable = ["batch_stats"] if self.cfg.bn_mode in (
+                "train", "acclimation") else False
+        out = self.backbone.apply(variables, images, train=train,
+                                  mutable=mutable)
+        new_stats = None
+        if mutable:
+            feats, mut = out
+            new_stats = {"backbone": mut["batch_stats"]}
+        else:
+            feats = out
         if self.cfg.warp_internally and not kill_warp:
             feats = tuple(
                 squint_warp(f, thetas, 1.0 / lam1s, 1.0 / lam2s) for f in feats
             )
+        self._last_bn_stats = new_stats
         return feats
 
     def _box_outputs(self, params, feats_i, rois):
@@ -123,12 +151,14 @@ class FasterRCNN:
         lam1s: Optional[jax.Array] = None,
         lam2s: Optional[jax.Array] = None,
         kill_warp: bool = False,
+        bn_stats=None,
     ) -> Detections:
         cfg = self.cfg
         batched, new_hw = preprocess_batch(
             images, hw, bucket, means, stds, cfg.min_size, cfg.max_size
         )
-        feats = self._features(params, batched, thetas, lam1s, lam2s, kill_warp)
+        feats = self._features(params, batched, thetas, lam1s, lam2s, kill_warp,
+                               bn_stats=bn_stats)
         rpn_out = run_rpn(params["rpn_head"], self.rpn_head, feats, new_hw,
                           training=False, cfg=cfg.rpn)
 
@@ -165,6 +195,7 @@ class FasterRCNN:
         lam1s: Optional[jax.Array] = None,
         lam2s: Optional[jax.Array] = None,
         kill_warp: bool = False,
+        bn_stats=None,
     ):
         cfg = self.cfg
         B = images.shape[0]
@@ -174,7 +205,7 @@ class FasterRCNN:
         gt_resized = jax.vmap(resize_boxes)(gt_boxes, hw, new_hw)
 
         feats = self._features(params, batched, thetas, lam1s, lam2s,
-                               kill_warp, train=True)
+                               kill_warp, train=True, bn_stats=bn_stats)
         rpn_out = run_rpn(params["rpn_head"], self.rpn_head, feats, new_hw,
                           training=True, cfg=cfg.rpn)
 

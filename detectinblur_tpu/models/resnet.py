@@ -39,7 +39,16 @@ class FrozenBatchNorm(nn.Module):
 
 # Checkpoint-parity requires f32 accumulation; on TPU the default conv
 # precision is bf16-ish, which costs real mAP. HIGHEST keeps convs f32.
-CONV_PRECISION = jax.lax.Precision.HIGHEST
+# DETECTINBLUR_PRECISION=default|high|highest selects the speed/parity
+# trade-off process-wide (bench measures both).
+import os as _os
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+CONV_PRECISION = _PRECISIONS[_os.environ.get("DETECTINBLUR_PRECISION", "highest")]
 
 
 def _conv(features, kernel, stride=1, name=None, padding=None):

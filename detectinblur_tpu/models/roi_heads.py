@@ -33,7 +33,7 @@ class TwoMLPHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        prec = jax.lax.Precision.HIGHEST
+        from detectinblur_tpu.models.resnet import CONV_PRECISION as prec
         x = x.reshape(x.shape[0], -1)
         x = nn.relu(nn.Dense(self.representation_size, name="fc6", precision=prec)(x))
         x = nn.relu(nn.Dense(self.representation_size, name="fc7", precision=prec)(x))
@@ -45,7 +45,7 @@ class FastRCNNPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        prec = jax.lax.Precision.HIGHEST
+        from detectinblur_tpu.models.resnet import CONV_PRECISION as prec
         scores = nn.Dense(self.num_classes, name="cls_score", precision=prec)(x)
         deltas = nn.Dense(self.num_classes * 4, name="bbox_pred", precision=prec)(x)
         return scores, deltas

@@ -32,7 +32,7 @@ class RPNHead(nn.Module):
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array]):
-        prec = jax.lax.Precision.HIGHEST
+        from detectinblur_tpu.models.resnet import CONV_PRECISION as prec
         conv = nn.Conv(self.in_channels, (3, 3), padding=[(1, 1), (1, 1)],
                        name="conv", precision=prec)
         cls = nn.Conv(self.num_anchors, (1, 1), name="cls_logits", precision=prec)
@@ -216,17 +216,26 @@ class RPNOutputs(NamedTuple):
 def run_rpn(
     head_params,
     head: RPNHead,
-    features: Sequence[jax.Array],   # 5 levels, [B, H_l, W_l, C]
+    features: Sequence[jax.Array],   # levels, [B, H_l, W_l, C]
     image_hw: jax.Array,             # [B, 2] valid sizes
     training: bool,
     cfg: RPNConfig = RPNConfig(),
+    first_level_stride: int = 4,
+    anchor_sizes=None,
+    anchor_ratios=None,
 ) -> RPNOutputs:
-    """Run the RPN over a batch. ``features`` must include the P6 pool."""
+    """Run the RPN over a batch. For the FPN detector ``features`` is
+    P2..P6 (stride 4 first); single-feature-map backbones pass one level
+    with its stride and a one-level anchor spec."""
     logits, deltas = head.apply({"params": head_params}, features)
 
     feat_shapes = tuple((f.shape[1], f.shape[2]) for f in features)
-    image_size = (int(features[0].shape[1] * 4), int(features[0].shape[2] * 4))
-    anchors_np = grid_anchors(feat_shapes, image_size)
+    image_size = (int(features[0].shape[1] * first_level_stride),
+                  int(features[0].shape[2] * first_level_stride))
+    kw = {}
+    if anchor_sizes is not None:
+        kw = dict(sizes=anchor_sizes, ratios=anchor_ratios)
+    anchors_np = grid_anchors(feat_shapes, image_size, **kw)
     anchors = jnp.asarray(np.concatenate(anchors_np, axis=0))
     anchors_per_level = tuple(a.shape[0] for a in anchors_np)
 

@@ -134,10 +134,8 @@ def add_jpeg_artifact(image: jax.Array, quality) -> jax.Array:
     """transforms.add_jpeg_artifact_to_image: reflect-pad to /16, compress,
     crop back. image [H, W, 3] float 0..1."""
     H, W = image.shape[:2]
-    ph = (16 - H % 16) % 16 if H % 16 else 0
-    pw = (16 - W % 16) % 16 if W % 16 else 0
-    # reference pads even when already /16 (16-0%16 = 16)? It computes
-    # 16 - H % 16 which is 16 for aligned sizes; match that.
+    # The reference computes 16 - H%16, which pads a full 16 even for
+    # already-aligned sizes (transforms.py:473-474) — match that.
     ph = 16 - H % 16
     pw = 16 - W % 16
     top, bottom = ph // 2, ph - ph // 2

@@ -201,6 +201,29 @@ def sample_psf(
     return psf
 
 
+@jax.jit
+def dilate_psf(psf: jax.Array, sigma: jax.Array) -> jax.Array:
+    """Defocus dilation (transforms.py:338-342): filter the PSF with a
+    Gaussian of (traced) sigma ~ U(0, 3), then normalize by the max.
+
+    Separable conv with a fixed-radius kernel whose weights depend on the
+    traced sigma (radius 13 covers 4*sigma_max)."""
+    radius = 13
+    xs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    s = jnp.maximum(sigma, 1e-6)
+    k = jnp.exp(-0.5 * (xs / s) ** 2)
+    k = k / jnp.sum(k)
+    # sigma ~ 0 degenerates to (almost) a delta kernel: identity filter.
+    pad = [(radius, radius), (0, 0)]
+    out = jnp.pad(psf, pad, mode="constant")
+    out = jax.lax.conv_general_dilated(
+        out[None, None], k[None, None, :, None], (1, 1), "VALID")[0, 0]
+    out = jnp.pad(out, [(0, 0), (radius, radius)], mode="constant")
+    out = jax.lax.conv_general_dilated(
+        out[None, None], k[None, None, None, :], (1, 1), "VALID")[0, 0]
+    return out / jnp.maximum(jnp.max(out), 1e-20)
+
+
 # The grids used throughout the reference (transforms.py:248-249,
 # evaluate.py:299-310).
 BLUR_PARAMS: Sequence[float] = (0.005, 0.001, 0.00005)

@@ -46,17 +46,35 @@ def apply_blur_and_expand(
     batch: BlurBatch,
     expand_target_boxes: bool,
     exact_blur: bool = False,
+    key: Optional[jax.Array] = None,
+    add_noise: bool = False,
+    noise_level: float = 0.001,
+    add_block: bool = False,
+    add_jpeg: bool = False,
+    dilate_psf_sigma: Optional[jax.Array] = None,
 ) -> BlurBatch:
-    """Device-side GPU-blur + expand_targets (engine.py:101-105)."""
+    """Device-side GPU-blur + expand_targets (engine.py:101-105), with the
+    optional corruption chain of manual_blur (blur_functions.py:72-88) and
+    PSF defocus dilation for eval (--dilate_psf)."""
+    psfs = batch.psfs
+    if dilate_psf_sigma is not None:
+        from detectinblur_tpu.ops.psf import dilate_psf
+
+        psfs = jax.vmap(dilate_psf)(psfs, dilate_psf_sigma)
     imgs_chw = jnp.transpose(batch.images, (0, 3, 1, 2))
-    blurred = batched_blur(imgs_chw, batch.psfs, batch.blurring, exact=exact_blur)
+    blurred = batched_blur(imgs_chw, psfs, batch.blurring, exact=exact_blur)
     images = jnp.transpose(blurred, (0, 2, 3, 1))
+    if key is not None and (add_noise or add_block or add_jpeg):
+        from detectinblur_tpu.train.estimator_engine import apply_corruptions
+
+        images = apply_corruptions(key, images, add_noise, noise_level,
+                                   add_block, add_jpeg)
     gt_boxes = batch.gt_boxes
     if expand_target_boxes:
         gt_boxes = jax.vmap(
             lambda b, p, on, s: expand_boxes_by_psf(b, p, on, s[0], s[1])
-        )(batch.gt_boxes, batch.psfs, batch.blurring, batch.hw)
-    return batch._replace(images=images, gt_boxes=gt_boxes)
+        )(batch.gt_boxes, psfs, batch.blurring, batch.hw)
+    return batch._replace(images=images, gt_boxes=gt_boxes, psfs=psfs)
 
 
 def derive_warp_params(batch: BlurBatch) -> BlurBatch:
@@ -82,12 +100,25 @@ def make_train_step(
     expand_target_boxes: bool = False,
     use_warp: bool = False,
     use_custom_norm: bool = False,
+    add_noise: bool = False,
+    noise_level: float = 0.001,
+    add_block: bool = False,
+    add_jpeg: bool = False,
 ):
-    """Build the jitted train step: (state, batch, key) -> (state, metrics)."""
+    """Build the jitted train step: (state, batch, key) -> (state, metrics).
 
-    def step(state: TrainState, batch: BlurBatch, key: jax.Array):
+    With an unfrozen-BN model (cfg.bn_mode == "train",
+    --unfrozen_batch_norm) the signature becomes
+    (state, bn_stats, batch, key) -> (state, bn_stats, metrics).
+    """
+    with_bn = model.cfg.bn_mode is not None
+
+    def step(state: TrainState, bn_stats, batch: BlurBatch, key: jax.Array):
+        key, bkey = jax.random.split(key)
         if blur_train:
-            batch = apply_blur_and_expand(batch, expand_target_boxes)
+            batch = apply_blur_and_expand(
+                batch, expand_target_boxes, key=bkey, add_noise=add_noise,
+                noise_level=noise_level, add_block=add_block, add_jpeg=add_jpeg)
         if use_warp:
             batch = derive_warp_params(batch)
 
@@ -101,17 +132,29 @@ def make_train_step(
                 thetas=batch.thetas if use_warp else None,
                 lam1s=batch.lam1s if use_warp else None,
                 lam2s=batch.lam2s if use_warp else None,
+                bn_stats=bn_stats,
             )
-            return sum(losses.values()), losses
+            new_stats = getattr(model, "_last_bn_stats", None)
+            return sum(losses.values()), (losses, new_stats)
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        ((total, (losses, new_stats)), grads) = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["loss"] = total
-        return TrainState(state.step + 1, params, opt_state), metrics
+        new_state = TrainState(state.step + 1, params, opt_state)
+        return new_state, (new_stats if new_stats is not None else bn_stats), metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    jitted = jax.jit(step, donate_argnums=(0,))
+    if with_bn:
+        return jitted
+
+    def no_stats(state, batch, key):
+        new_state, _, metrics = jitted(state, None, batch, key)
+        return new_state, metrics
+
+    return no_stats
 
 
 def _blur_norms(batch: BlurBatch, use_custom_norm: bool):
@@ -131,12 +174,40 @@ def make_eval_step(
     expand_target_boxes: bool = False,
     use_warp: bool = False,
     use_custom_norm: bool = False,
+    deblur_vars=None,
+    add_noise: bool = False,
+    noise_level: float = 0.001,
+    add_block: bool = False,
+    add_jpeg: bool = False,
+    dilate_psf: bool = False,
+    bn_stats=None,
 ):
-    """Build the jitted eval step: batch -> (Detections, expanded_gt)."""
+    """Build the jitted eval step: (params, batch[, key]) ->
+    (Detections, expanded_gt).
 
-    def step(params, batch: BlurBatch):
+    ``deblur_vars`` enables the deblur-first remedy (engine.py:319-322):
+    the MSResNet runs on-device right after the blur, not via the
+    reference's GPU->CPU->GPU round trip.
+    """
+
+    def step(params, batch: BlurBatch, key: Optional[jax.Array] = None):
+        if key is None:
+            key = jax.random.key(0)
+        key, bkey, dkey = jax.random.split(key, 3)
         if blur_eval:
-            batch = apply_blur_and_expand(batch, expand_target_boxes)
+            sigma = (jax.random.uniform(dkey, (batch.images.shape[0],),
+                                        minval=0.0, maxval=3.0)
+                     if dilate_psf else None)
+            batch = apply_blur_and_expand(
+                batch, expand_target_boxes, key=bkey, add_noise=add_noise,
+                noise_level=noise_level, add_block=add_block, add_jpeg=add_jpeg,
+                dilate_psf_sigma=sigma)
+        if deblur_vars is not None:
+            from detectinblur_tpu.models.deblur import deblur_image
+
+            deblurred = jax.vmap(lambda im: deblur_image(deblur_vars, im))(
+                batch.images)
+            batch = batch._replace(images=deblurred)
         if use_warp:
             batch = derive_warp_params(batch)
         means, stds = _blur_norms(batch, use_custom_norm)
@@ -145,6 +216,7 @@ def make_eval_step(
             thetas=batch.thetas if use_warp else None,
             lam1s=batch.lam1s if use_warp else None,
             lam2s=batch.lam2s if use_warp else None,
+            bn_stats=bn_stats,
         )
         return dets, batch.gt_boxes
 

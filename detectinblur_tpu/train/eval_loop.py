@@ -121,6 +121,7 @@ def evaluate_coco(
     print_freq: int = 100,
     early_stop: Optional[int] = None,
     header: str = "Test:",
+    image_output_dir: Optional[str] = None,
 ) -> np.ndarray:
     """Run the loop; returns the 19-stat vector (AP first — the reference's
     patched summarize, coco_eval.py:506-528)."""
@@ -138,6 +139,12 @@ def evaluate_coco(
             break
         dets, expanded_gt = eval_step(params, batch)
         collect_detections(dets, image_ids, results)
+        if image_output_dir is not None and it < 50:
+            # Box-overlay dumps (engine.py:382-383).
+            from detectinblur_tpu.utils.visualization import dump_detections
+
+            dump_detections(image_output_dir, int(image_ids[0]),
+                            np.asarray(batch.images[0]), dets)
         if expand_target_boxes:
             eg = np.asarray(expanded_gt)
             nv = np.asarray(batch.gt_valid).sum(axis=1)

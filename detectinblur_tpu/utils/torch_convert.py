@@ -59,19 +59,41 @@ def _get(sd: Mapping[str, np.ndarray], *candidates: str) -> np.ndarray:
     raise KeyError(f"none of {candidates} found in state dict")
 
 
+def _bn_params(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"].astype(np.float32),
+            "bias": sd[f"{prefix}.bias"].astype(np.float32)}
+
+
+def _bn_stats(sd, prefix, num_batches: float = 0.0):
+    return {"mean": sd[f"{prefix}.running_mean"].astype(np.float32),
+            "var": sd[f"{prefix}.running_var"].astype(np.float32),
+            "num_batches_tracked": np.float32(num_batches)}
+
+
 def convert_fasterrcnn_state_dict(
     sd: Mapping[str, np.ndarray],
     arch: str = "resnet50",
     bn_eps: float = 0.0,
+    frozen_bn: bool = True,
 ) -> Dict:
     """Build the detectinblur_tpu param tree from a torchvision
-    fasterrcnn_{arch}_fpn state dict."""
+    fasterrcnn_{arch}_fpn state dict.
+
+    With ``frozen_bn`` (default) BN folds into affine pairs; with
+    ``frozen_bn=False`` (the --unfrozen_batch_norm / --mode_one_norm paths,
+    utils.py:37-78) real (scale, bias) params are kept and running stats
+    are returned under a parallel ``batch_stats`` tree — call
+    ``convert_fasterrcnn_bn_stats`` for that tree.
+    """
     from detectinblur_tpu.models.resnet import RESNET_SPECS
+
+    bn = (lambda p: _fold_frozen_bn(sd, p, bn_eps)) if frozen_bn else (
+        lambda p: _bn_params(sd, p))
 
     _, layers = RESNET_SPECS[arch]
     body: Dict = {}
     body["conv1"] = {"kernel": _conv_kernel(sd["backbone.body.conv1.weight"])}
-    body["bn1"] = _fold_frozen_bn(sd, "backbone.body.bn1", bn_eps)
+    body["bn1"] = bn("backbone.body.bn1")
 
     for li, n_blocks in enumerate(layers, start=1):
         for b in range(n_blocks):
@@ -80,12 +102,12 @@ def convert_fasterrcnn_state_dict(
             convs = 3 if f"{p}.conv3.weight" in sd else 2
             for c in range(1, convs + 1):
                 blk[f"conv{c}"] = {"kernel": _conv_kernel(sd[f"{p}.conv{c}.weight"])}
-                blk[f"bn{c}"] = _fold_frozen_bn(sd, f"{p}.bn{c}", bn_eps)
+                blk[f"bn{c}"] = bn(f"{p}.bn{c}")
             if f"{p}.downsample.0.weight" in sd:
                 blk["downsample_0"] = {
                     "kernel": _conv_kernel(sd[f"{p}.downsample.0.weight"])
                 }
-                blk["downsample_1"] = _fold_frozen_bn(sd, f"{p}.downsample.1", bn_eps)
+                blk["downsample_1"] = bn(f"{p}.downsample.1")
             body[f"layer{li}_{b}"] = blk
 
     fpn: Dict = {}
@@ -138,6 +160,37 @@ def convert_fasterrcnn_state_dict(
         "box_predictor": box_predictor,
     }
     return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), tree)
+
+
+def convert_fasterrcnn_bn_stats(
+    sd: Mapping[str, np.ndarray],
+    arch: str = "resnet50",
+    num_batches: float = 0.0,
+) -> Dict:
+    """batch_stats tree (running mean/var) matching the unfrozen-BN layout.
+
+    ``num_batches`` seeds num_batches_tracked (evaluate.py:234-237 sets 16
+    for --mode_one_norm via models.batchnorm.set_num_batches_tracked)."""
+    from detectinblur_tpu.models.resnet import RESNET_SPECS
+
+    _, layers = RESNET_SPECS[arch]
+    body: Dict = {"bn1": _bn_stats(sd, "backbone.body.bn1", num_batches)}
+    for li, n_blocks in enumerate(layers, start=1):
+        for b in range(n_blocks):
+            p = f"backbone.body.layer{li}.{b}"
+            blk: Dict = {}
+            convs = 3 if f"{p}.conv3.weight" in sd else 2
+            for c in range(1, convs + 1):
+                blk[f"bn{c}"] = _bn_stats(sd, f"{p}.bn{c}", num_batches)
+            if f"{p}.downsample.1.weight" in sd:
+                blk["downsample_1"] = _bn_stats(sd, f"{p}.downsample.1", num_batches)
+            body[f"layer{li}_{b}"] = blk
+
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda x: jnp.asarray(x),
+                        {"backbone": {"body": body}})
 
 
 def assert_tree_shapes_match(converted, initialized) -> None:

@@ -1,0 +1,124 @@
+"""End-to-end CLI smoke tests over a synthetic on-disk COCO dataset —
+the framework's equivalent of the reference's --early_stop smoke runs
+(SURVEY.md §4). The detector is shrunk via monkeypatching so the whole
+train->checkpoint->eval cycle compiles in test time."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("coco")
+    for split in ("train2017", "val2017"):
+        os.makedirs(root / split, exist_ok=True)
+    os.makedirs(root / "annotations", exist_ok=True)
+
+    def make_split(split, n):
+        images, anns = [], []
+        aid = 1
+        for i in range(n):
+            h, w = 80, 96
+            arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            name = f"{i:012d}.jpg"
+            Image.fromarray(arr).save(root / split / name)
+            images.append({"id": i + 1, "file_name": name,
+                           "height": h, "width": w})
+            for _ in range(2):
+                x, y = rng.uniform(2, 40, 2)
+                bw, bh = rng.uniform(10, 30, 2)
+                anns.append({
+                    "id": aid, "image_id": i + 1,
+                    "category_id": int(rng.integers(1, 5)),
+                    "bbox": [float(x), float(y), float(bw), float(bh)],
+                    "area": float(bw * bh), "iscrowd": 0,
+                })
+                aid += 1
+        cats = [{"id": c, "name": f"c{c}"} for c in range(1, 5)]
+        with open(root / "annotations" / f"instances_{split}.json", "w") as f:
+            json.dump({"images": images, "annotations": anns,
+                       "categories": cats}, f)
+
+    make_split("train2017", 6)
+    make_split("val2017", 4)
+    return str(root)
+
+
+@pytest.fixture
+def tiny_cli(monkeypatch):
+    """Shrink the detector + buckets so CLI runs compile quickly."""
+    from detectinblur_tpu.models.faster_rcnn import FasterRCNN, FasterRCNNConfig
+    import detectinblur_tpu.cli.train as cli_train
+    import detectinblur_tpu.cli.evaluate as cli_eval
+    import detectinblur_tpu.data.loader as loader_mod
+
+    from detectinblur_tpu.models.roi_heads import BoxHeadConfig
+    from detectinblur_tpu.models.rpn import RPNConfig
+
+    def tiny_build(args, bn_mode=None):
+        return FasterRCNN(FasterRCNNConfig(
+            min_size=96, max_size=96, num_classes=5, bn_mode=bn_mode,
+            rpn=RPNConfig(pre_nms_top_n_train=200, post_nms_top_n_train=100,
+                          pre_nms_top_n_test=200, post_nms_top_n_test=100),
+            box=BoxHeadConfig(batch_size_per_image=64, nms_pool=256,
+                              detections_per_img=20),
+        ))
+
+    def tiny_model_bucket(b, **kw):
+        return (96, 96)
+
+    monkeypatch.setattr(cli_train, "build_model", tiny_build)
+    monkeypatch.setattr(cli_eval, "build_model", tiny_build)
+    monkeypatch.setattr(cli_train, "model_bucket_for", tiny_model_bucket)
+    monkeypatch.setattr(cli_eval, "model_bucket_for", tiny_model_bucket)
+    import detectinblur_tpu.data.batching as batching_mod
+
+    monkeypatch.setattr(batching_mod, "DEFAULT_SOURCE_BUCKETS", ((96, 96),))
+    # init() default bucket must also be tiny.
+    orig_init = FasterRCNN.init
+    monkeypatch.setattr(FasterRCNN, "init",
+                        lambda self, key, bucket=(96, 96): orig_init(self, key, bucket))
+    # Tiny PSF bank instead of a device sweep.
+    import detectinblur_tpu.cli.train as ct
+
+    rng = np.random.default_rng(1)
+    bank = np.zeros((3, 5, 2, 128, 128), np.float32)
+    bank[:, :, :, 60:68, 60:68] = rng.random((3, 5, 2, 8, 8))
+    monkeypatch.setattr(ct, "generate_psf_bank", lambda *a, **k: bank)
+    monkeypatch.setattr(cli_eval, "generate_psf_bank", lambda *a, **k: bank)
+    return tiny_build
+
+
+def test_train_cli_smoke(coco_root, tiny_cli, tmp_path):
+    from detectinblur_tpu.cli.train import main
+
+    out = tmp_path / "out"
+    main([
+        "--data-path", coco_root, "--blur_train", "--gpu_blur",
+        "--expand_target_boxes", "-b", "2", "--epochs", "1",
+        "--early_stop", "2", "--output_dir", str(out),
+        "--lr", "0.001", "--print-freq", "1",
+    ])
+    assert (out / "model_0").exists()
+
+
+def test_evaluate_cli_vanilla(coco_root, tiny_cli):
+    from detectinblur_tpu.cli.evaluate import main
+
+    stats = main(["--data-path", coco_root, "--vanilla_eval",
+                  "--early_stop", "4"])
+    assert stats.shape == (19,)
+
+
+def test_evaluate_cli_blur_cell(coco_root, tiny_cli):
+    from detectinblur_tpu.cli.evaluate import main
+
+    # One sweep cell only (param_index filter) with tiny early_stop.
+    out = main(["--data-path", coco_root, "--blur_eval", "--gpu_blur",
+                "--param_index", "1", "--early_stop", "2"])
+    assert isinstance(out, dict) and len(out) == 5

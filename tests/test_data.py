@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+
+from detectinblur_tpu.data.batching import (
+    build_blur_batch,
+    hflip_item,
+    model_bucket_for,
+    pick_bucket,
+)
+from detectinblur_tpu.data.blur_sampling import (
+    BlurPolicy,
+    sample_blur_decision,
+)
+from detectinblur_tpu.data.loader import DetectionLoader
+
+
+class FakeDataset:
+    """In-memory dataset mimicking data.coco.CocoDetection's item dicts."""
+
+    def __init__(self, rng, n=16, hw=(120, 160)):
+        self.items = []
+        for i in range(n):
+            h = int(hw[0] + rng.integers(-20, 20))
+            w = int(hw[1] + rng.integers(-20, 20))
+            boxes = np.array([[5, 5, 50, 40], [20, 30, 90, 80]], np.float32)
+            self.items.append({
+                "image": rng.random((h, w, 3)).astype(np.float32),
+                "image_id": i + 1,
+                "boxes": boxes,
+                "labels": np.array([1, 3], np.int32),
+                "area": np.array([100.0, 200.0], np.float32),
+                "iscrowd": np.zeros(2, np.int32),
+            })
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def test_pick_bucket():
+    buckets = ((512, 672), (672, 512), (672, 672))
+    assert pick_bucket(480, 640, buckets) == (512, 672)
+    assert pick_bucket(640, 480, buckets) == (672, 512)
+    assert pick_bucket(600, 600, buckets) == (672, 672)
+    assert pick_bucket(900, 900, buckets) == (672, 672)  # fallback: largest
+
+
+def test_model_bucket_for():
+    hb, wb = model_bucket_for((512, 672), min_size=800, max_size=1333)
+    assert hb % 32 == 0 and wb % 32 == 0
+    # Everything in the source bucket fits after min/max-side resize.
+    assert hb >= 800 and wb >= 1024
+
+
+def test_hflip_boxes(rng):
+    item = FakeDataset(rng, n=1)[0]
+    w = item["image"].shape[1]
+    flipped = hflip_item(item)
+    np.testing.assert_allclose(flipped["boxes"][:, 0], w - item["boxes"][:, 2])
+    np.testing.assert_allclose(flipped["boxes"][:, 2], w - item["boxes"][:, 0])
+    np.testing.assert_allclose(flipped["image"], item["image"][:, ::-1])
+
+
+def test_blur_decision_distribution(rng):
+    policy = BlurPolicy.training_default()  # prob 0.9
+    decs = [sample_blur_decision(rng, policy) for _ in range(2000)]
+    frac_blurred = np.mean([d.blurring for d in decs])
+    assert 0.86 < frac_blurred < 0.94
+    ps = [d.param_index for d in decs if d.blurring]
+    assert set(ps) == {0, 1, 2}
+    fs = [d.fraction_index for d in decs if d.blurring]
+    assert set(fs) == {0, 1, 2, 3, 4}
+
+
+def test_blur_decision_regimes(rng):
+    high = BlurPolicy.training_default(high=True)
+    decs = [sample_blur_decision(rng, high) for _ in range(500)]
+    assert all(d.fraction_index >= 3 for d in decs if d.blurring)
+    assert np.mean([d.blurring for d in decs]) > 0.97  # prob 1.0
+
+    low = BlurPolicy.training_default(low=True)
+    decs = [sample_blur_decision(rng, low) for _ in range(500)]
+    assert all(d.fraction_index <= 2 for d in decs if d.blurring)
+
+
+def test_blur_decision_fixed_sweep(rng):
+    policy = BlurPolicy(prob=1.0, blur_type=0.001, blur_exposure=1 / 10)
+    d = sample_blur_decision(rng, policy)
+    assert d.blurring and d.param_index == 1 and d.fraction_index == 1
+    # Negligible exposure tagged -1 (transforms.py:443-446).
+    policy = BlurPolicy(prob=1.0, blur_type=0.001, blur_exposure=1 / 100)
+    d = sample_blur_decision(rng, policy)
+    assert d.fraction_index == -1
+
+
+def test_loader_batches(rng):
+    ds = FakeDataset(rng, n=12)
+    bank = rng.random((3, 5, 4, 128, 128)).astype(np.float32)
+    loader = DetectionLoader(ds, batch_size=2,
+                             policy=BlurPolicy(prob=1.0), psf_bank=bank,
+                             source_buckets=((160, 200),), hflip_prob=0.5)
+    batches = list(loader)
+    assert len(batches) == 6
+    batch, bucket, ids = batches[0]
+    assert bucket == (160, 200)
+    assert batch.images.shape == (2, 160, 200, 3)
+    assert batch.psfs.shape == (2, 128, 128)
+    assert batch.gt_boxes.shape[0] == 2
+    assert len(ids) == 2
+    assert bool(np.asarray(batch.blurring).all())
+    # Valid sizes recorded.
+    assert (np.asarray(batch.hw) > 0).all()
+
+
+def test_loader_epoch_reshuffle(rng):
+    ds = FakeDataset(rng, n=8)
+    loader = DetectionLoader(ds, batch_size=1, source_buckets=((160, 200),))
+    loader.set_epoch(0)
+    ids0 = [ids[0] for _, _, ids in loader]
+    loader.set_epoch(1)
+    ids1 = [ids[0] for _, _, ids in loader]
+    assert sorted(ids0) == sorted(ids1)
+    assert ids0 != ids1

@@ -1,0 +1,93 @@
+"""Detector integration: tiny-shape forward/loss/grad, and the multichip
+SPMD dry-run (the driver's dryrun_multichip path) on the 8-device virtual
+CPU mesh."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from detectinblur_tpu.models.faster_rcnn import FasterRCNN, FasterRCNNConfig
+
+
+from detectinblur_tpu.models.roi_heads import BoxHeadConfig
+from detectinblur_tpu.models.rpn import RPNConfig
+
+TINY_CFG = FasterRCNNConfig(
+    min_size=64, max_size=64,
+    rpn=RPNConfig(pre_nms_top_n_train=200, post_nms_top_n_train=100,
+                  pre_nms_top_n_test=200, post_nms_top_n_test=100),
+    box=BoxHeadConfig(batch_size_per_image=64, nms_pool=256,
+                      detections_per_img=20),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = FasterRCNN(TINY_CFG)
+    params = model.init(jax.random.key(0), bucket=(64, 64))
+    return model, params
+
+
+def test_predict_shapes_and_validity(tiny_model, rng):
+    model, params = tiny_model
+    imgs = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    hw = jnp.array([[60, 50], [64, 64]])
+    det = model.predict(params, imgs, hw, bucket=(64, 64))
+    D = TINY_CFG.box.detections_per_img
+    assert det.boxes.shape == (2, D, 4)
+    assert det.scores.shape == (2, D)
+    v = np.asarray(det.valid)
+    s = np.asarray(det.scores)
+    # Invalid slots carry zero score; valid ones exceed the 0.05 threshold.
+    assert (s[~v] == 0).all()
+    if v.any():
+        assert (s[v] > 0.05).all()
+    b = np.asarray(det.boxes)
+    # Boxes live in original-image coordinates.
+    assert (b[0][v[0]] <= 60.0 + 1e-3).all() if v[0].any() else True
+
+
+def test_loss_finite_and_grads_flow(tiny_model, rng):
+    model, params = tiny_model
+    imgs = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    hw = jnp.array([[64, 64], [64, 64]])
+    gt_boxes = jnp.array([[[5.0, 5, 30, 30], [10, 10, 40, 45]]] * 2)
+    gt_labels = jnp.array([[1, 17]] * 2)
+    gt_valid = jnp.array([[True, True]] * 2)
+
+    def total(p):
+        losses = model.loss(p, jax.random.key(2), imgs, hw, gt_boxes,
+                            gt_labels, gt_valid, bucket=(64, 64))
+        return sum(losses.values()), losses
+
+    (tot, losses), grads = jax.value_and_grad(total, has_aux=True)(params)
+    assert np.isfinite(float(tot))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    gnorm = jnp.sqrt(sum(jnp.sum(g * g) for g in jax.tree.leaves(grads)))
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_empty_gt_image(tiny_model, rng):
+    model, params = tiny_model
+    imgs = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    hw = jnp.array([[64, 64]])
+    gt_boxes = jnp.zeros((1, 2, 4))
+    gt_labels = jnp.zeros((1, 2), jnp.int32)
+    gt_valid = jnp.zeros((1, 2), bool)
+    losses = model.loss(params, jax.random.key(0), imgs, hw, gt_boxes,
+                        gt_labels, gt_valid, bucket=(64, 64))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__
+
+    assert jax.device_count() >= 8
+    __graft_entry__.dryrun_multichip(8)
