@@ -14,8 +14,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
+
+# Throughput mode: bf16-accumulation convs (XLA default precision). The
+# parity-eval path keeps DETECTINBLUR_PRECISION=highest (f32) — this bench
+# measures the production serving configuration.
+os.environ.setdefault("DETECTINBLUR_PRECISION", "default")
 
 import jax
 import jax.numpy as jnp

@@ -57,6 +57,10 @@ class FasterRCNNConfig(NamedTuple):
     # real AdaptiveBatchNorm in the backbone (--unfrozen_batch_norm /
     # --mode_one_norm / acclimation, models/batchnorm.py remedies).
     bn_mode: Optional[str] = None
+    # Use the Pallas RoIAlign kernel (ops/roi_align_pallas.py) for the
+    # box-head pooling at inference; exact for all but >960px boxes which
+    # take the XLA fallback inside the kernel wrapper.
+    pallas_roi_align: bool = False
 
 
 class Detections(NamedTuple):
@@ -132,11 +136,14 @@ class FasterRCNN:
         self._last_bn_stats = new_stats
         return feats
 
-    def _box_outputs(self, params, feats_i, rois):
-        pooled = multiscale_roi_align(feats_i, rois)        # [R, 7, 7, C]
+    def _head_from_pooled(self, params, pooled):
         pooled = jnp.transpose(pooled, (0, 3, 1, 2))        # torch CHW flatten
         x = self.box_head.apply({"params": params["box_head"]}, pooled)
         return self.box_predictor.apply({"params": params["box_predictor"]}, x)
+
+    def _box_outputs(self, params, feats_i, rois):
+        pooled = multiscale_roi_align(feats_i, rois)        # [R, 7, 7, C]
+        return self._head_from_pooled(params, pooled)
 
     # ----------------------------------------------------------- inference
     def predict(
@@ -161,6 +168,25 @@ class FasterRCNN:
                                bn_stats=bn_stats)
         rpn_out = run_rpn(params["rpn_head"], self.rpn_head, feats, new_hw,
                           training=False, cfg=cfg.rpn)
+
+        if cfg.pallas_roi_align:
+            from detectinblur_tpu.ops.roi_align_pallas import (
+                pallas_multiscale_roi_align,
+            )
+
+            pooled = pallas_multiscale_roi_align(feats[:4], rpn_out.proposals)
+
+            def per_image_pooled(pooled_i, rois, roi_valid, hw_i, orig_hw_i):
+                logits, deltas = self._head_from_pooled(params, pooled_i)
+                boxes, scores, labels, valid = postprocess_detections(
+                    logits, deltas, rois, roi_valid, hw_i, cfg.box
+                )
+                return resize_boxes(boxes, hw_i, orig_hw_i), scores, labels, valid
+
+            boxes, scores, labels, valid = jax.vmap(per_image_pooled)(
+                pooled, rpn_out.proposals, rpn_out.proposal_valid, new_hw, hw
+            )
+            return Detections(boxes, scores, labels, valid)
 
         def per_image(feats_i, rois, roi_valid, hw_i, orig_hw_i):
             logits, deltas = self._box_outputs(params, feats_i, rois)

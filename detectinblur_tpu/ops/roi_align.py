@@ -117,21 +117,36 @@ def _roi_align_flat(
     base = off[:, None, None, None, None]
     wrow = Wl[:, None, None, None, None]
 
-    def gather(yi, xi):
-        idx = base + yi * wrow + xi                    # [R, s, g, s, g]
-        return jnp.take(flat_feats, idx.reshape(-1), axis=0).reshape(*idx.shape, C)
+    # x_lo and x_lo+1 are adjacent rows of the flattened level buffer, so
+    # one (2, C)-slice gather fetches both x-corners contiguously — 2
+    # gathers per sample point instead of 4, each a contiguous 2C read.
+    # (XLA's row-gather lowering dominated the whole detector before:
+    # 130ms -> this formulation; x_hi weights are 0 wherever the pair
+    # would straddle a row edge, so the extra fetched row is harmless.)
+    # In fast-precision mode the gather runs in bf16: it halves both the
+    # scattered-read traffic and the [N_samples, 2, C] intermediates.
+    from detectinblur_tpu.models.resnet import CONV_PRECISION
 
-    w11 = (by(wy_lo) * bx(wx_lo))[..., None]
-    w12 = (by(wy_lo) * bx(wx_hi))[..., None]
-    w21 = (by(wy_hi) * bx(wx_lo))[..., None]
-    w22 = (by(wy_hi) * bx(wx_hi))[..., None]
+    gather_dtype = (jnp.bfloat16 if CONV_PRECISION == jax.lax.Precision.DEFAULT
+                    else flat_feats.dtype)
+    padded = jnp.concatenate(
+        [flat_feats, jnp.zeros((1, C), flat_feats.dtype)], axis=0
+    ).astype(gather_dtype)
 
-    val = (
-        gather(by(y_lo), bx(x_lo)) * w11
-        + gather(by(y_lo), bx(x_hi)) * w12
-        + gather(by(y_hi), bx(x_lo)) * w21
-        + gather(by(y_hi), bx(x_hi)) * w22
-    )
+    def gather_pair(yi):
+        idx = (base + yi * wrow + bx(x_lo)).reshape(-1)
+        out = jax.vmap(
+            lambda i: jax.lax.dynamic_slice(padded, (i, 0), (2, C))
+        )(idx)
+        return out.reshape(*ok.shape, 2, C)
+
+    top = gather_pair(by(y_lo))       # [R, s, g, s, g, 2, C]
+    bot = gather_pair(by(y_hi))
+
+    wx = jnp.stack([bx(wx_lo), bx(wx_hi)], axis=-1) * jnp.ones_like(by(wy_lo))[..., None]
+    val = (top.astype(jnp.float32) * by(wy_lo)[..., None, None]
+           + bot.astype(jnp.float32) * by(wy_hi)[..., None, None])
+    val = (val * wx[..., None]).sum(axis=-2)
     val = jnp.where(ok[..., None], val, 0.0)
     # Average the g*g samples per bin: [R, s, g, s, g, C] -> [R, s, s, C].
     return val.mean(axis=(2, 4)).astype(flat_feats.dtype)
