@@ -1,10 +1,10 @@
 """RoIAlign and multi-scale (FPN) RoIAlign as pure XLA gathers.
 
 torchvision's CUDA RoIAlign (used by the reference's MultiScaleRoIAlign,
-models/faster_rcnn.py:204-208) is replaced with a fully vectorized
-gather + bilinear-interpolate formulation:
+models/faster_rcnn.py:204-208) is replaced with fully vectorized
+gather + bilinear-interpolate formulations:
 
-  * every (roi, bin, sample, corner) index is computed in closed form,
+  * every (roi, bin, sample) index is computed in closed form,
   * all four FPN levels are flattened into one [sum(H_l*W_l), C] buffer so a
     per-roi *dynamic* level choice becomes a plain offset into one gather —
     no lax.switch, no per-level masking passes,
@@ -14,6 +14,19 @@ gather + bilinear-interpolate formulation:
 
 Level assignment follows torchvision's LevelMapper: ``floor(4 +
 log2(sqrt(area)/224 + 1e-6))`` clamped to [2, 5].
+
+Two implementations:
+
+  * ``quad`` (default): a *corner-quad buffer* — the flattened pyramid is
+    concatenated channel-wise with itself shifted by one column, one row,
+    and one row+column, so all 4 bilinear corners of a sample point come
+    back in ONE single-row ``jnp.take``. On TPU, gather cost is dominated
+    by per-row overhead (a (2, C) slice-pair gather runs ~3x slower than a
+    single 4C-wide row take for the same corners), so one wide take per
+    sample point is the fastest exact XLA formulation measured on v5e
+    (88 ms -> ~55 ms for the 8x1000-roi detector batch).
+  * ``scattered``: the original 2-slice contiguous-pair gather; kept as the
+    reference implementation and for the single-level path.
 """
 
 from __future__ import annotations
@@ -39,6 +52,105 @@ def _bilinear_params(coord: jax.Array, size: jax.Array):
     # When low == size-1, torch sets the fractional coordinate to low.
     frac = jnp.where(low >= size - 1, 0.0, c - low.astype(c.dtype))
     return low, high, 1.0 - frac, frac, in_range
+
+
+def _level_geometry(boxes, levels, level_sizes, level_scales, output_size,
+                    sampling_ratio):
+    """Shared sample-coordinate computation: returns per-axis bilinear
+    params with sample axes laid out [R, s, g]."""
+    s, g = output_size, sampling_ratio
+    scale = level_scales[levels]
+    Hl = level_sizes[levels, 0]
+    Wl = level_sizes[levels, 1]
+
+    x1 = boxes[:, 0] * scale
+    y1 = boxes[:, 1] * scale
+    roi_w = jnp.maximum(boxes[:, 2] * scale - x1, 1.0)
+    roi_h = jnp.maximum(boxes[:, 3] * scale - y1, 1.0)
+
+    bin_idx = jnp.arange(s, dtype=jnp.float32)
+    samp_idx = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
+    grid = bin_idx[:, None] + samp_idx[None, :]                     # [s, g]
+    ys = y1[:, None, None] + grid[None] * (roi_h / s)[:, None, None]
+    xs = x1[:, None, None] + grid[None] * (roi_w / s)[:, None, None]
+
+    ypar = _bilinear_params(ys, Hl[:, None, None])
+    xpar = _bilinear_params(xs, Wl[:, None, None])
+    return ypar, xpar, Hl, Wl
+
+
+def _roi_align_quad(
+    features: Sequence[jax.Array],   # L arrays [H_l, W_l, C]
+    levels: jax.Array,               # [R] int32 level index per roi
+    level_scales: jax.Array,         # [L]
+    boxes: jax.Array,                # [R, 4] xyxy in input coordinates
+    output_size: int,
+    sampling_ratio: int,
+) -> jax.Array:
+    """Corner-quad-buffer RoIAlign (see module docstring)."""
+    R = boxes.shape[0]
+    s = output_size
+    g = sampling_ratio
+    C = features[0].shape[-1]
+
+    from detectinblur_tpu.models.resnet import CONV_PRECISION
+
+    fast = CONV_PRECISION == jax.lax.Precision.DEFAULT
+    buf_dtype = jnp.bfloat16 if fast else features[0].dtype
+
+    def shifted(fl, k):
+        if not k:
+            return fl
+        return jnp.concatenate([fl[k:], jnp.zeros((k, C), fl.dtype)], axis=0)
+
+    parts = []
+    for f in features:
+        Wl = f.shape[1]
+        fl = f.reshape(-1, C).astype(buf_dtype)
+        # Channel-concat the 4 bilinear corners: (y,x) (y,x+1) (y+1,x) (y+1,x+1).
+        parts.append(jnp.concatenate(
+            [fl, shifted(fl, 1), shifted(fl, Wl), shifted(fl, Wl + 1)], axis=1))
+    quad = jnp.concatenate(parts + [jnp.zeros((1, 4 * C), buf_dtype)], axis=0)
+
+    counts = [f.shape[0] * f.shape[1] for f in features]
+    offs = [0]
+    for c in counts[:-1]:
+        offs.append(offs[-1] + c)
+    level_offsets = jnp.array(offs, jnp.int32)
+    level_sizes = jnp.array([[f.shape[0], f.shape[1]] for f in features],
+                            jnp.int32)
+
+    (y_lo, _, wy_lo, wy_hi, y_ok), (x_lo, _, wx_lo, wx_hi, x_ok), Hl, Wl = (
+        _level_geometry(boxes, levels, level_sizes, level_scales,
+                        output_size, sampling_ratio))
+
+    off = level_offsets[levels]
+
+    # Sample layout [R, s(y), s(x), g(y), g(x)] so the g*g samples of a bin
+    # are contiguous rows of the take (the bin mean then reads sequentially).
+    def by(a):   # y-axis [R, s, g] -> [R, s, 1, g, 1]
+        return a[:, :, None, :, None]
+
+    def bx(a):   # x-axis [R, s, g] -> [R, 1, s, 1, g]
+        return a[:, None, :, None, :]
+
+    idx = (off[:, None, None, None, None]
+           + by(y_lo) * Wl[:, None, None, None, None]
+           + bx(x_lo))                                  # [R, s, s, g, g]
+    rows = jnp.take(quad, idx.reshape(-1), axis=0)      # [R*s*s*g*g, 4C]
+
+    ok = (by(y_ok) & bx(x_ok)).astype(jnp.float32)
+    w00 = (by(wy_lo) * bx(wx_lo) * ok).reshape(-1, 1)
+    w01 = (by(wy_lo) * bx(wx_hi) * ok).reshape(-1, 1)
+    w10 = (by(wy_hi) * bx(wx_lo) * ok).reshape(-1, 1)
+    w11 = (by(wy_hi) * bx(wx_hi) * ok).reshape(-1, 1)
+    # x_hi straddling a row edge (x_lo == W_l-1) contributes weight 0, so the
+    # wrong-row value fetched in the +1 channel block is harmless; the same
+    # holds for y_hi at the bottom edge and the zero pad row at the buffer end.
+    val = (rows[:, :C] * w00 + rows[:, C:2 * C] * w01
+           + rows[:, 2 * C:3 * C] * w10 + rows[:, 3 * C:] * w11)
+    val = val.reshape(R, s, s, g * g, C).mean(axis=3)   # [R, s, s, C]
+    return val.astype(features[0].dtype)
 
 
 def roi_align_single_level(
@@ -74,57 +186,31 @@ def _roi_align_flat(
     output_size: int,
     sampling_ratio: int,
 ) -> jax.Array:
+    """Reference scattered-gather implementation (2-slice contiguous pairs)."""
     R = boxes.shape[0]
     s = output_size
     g = sampling_ratio
     C = flat_feats.shape[-1]
 
-    scale = level_scales[levels]                      # [R]
-    Hl = level_sizes[levels, 0]                       # [R]
-    Wl = level_sizes[levels, 1]
+    (y_lo, y_hi, wy_lo, wy_hi, y_ok), (x_lo, x_hi, wx_lo, wx_hi, x_ok), Hl, Wl = (
+        _level_geometry(boxes, levels, level_sizes, level_scales,
+                        output_size, sampling_ratio))
     off = level_offsets[levels]
 
-    x1 = boxes[:, 0] * scale
-    y1 = boxes[:, 1] * scale
-    x2 = boxes[:, 2] * scale
-    y2 = boxes[:, 3] * scale
-    roi_w = jnp.maximum(x2 - x1, 1.0)
-    roi_h = jnp.maximum(y2 - y1, 1.0)
-    bin_w = roi_w / s
-    bin_h = roi_h / s
-
-    # Sample coordinates: [R, s, g] per axis.
-    bin_idx = jnp.arange(s, dtype=jnp.float32)
-    samp_idx = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
-    ys = (y1[:, None, None]
-          + bin_idx[None, :, None] * bin_h[:, None, None]
-          + samp_idx[None, None, :] * bin_h[:, None, None])   # [R, s, g]
-    xs = (x1[:, None, None]
-          + bin_idx[None, :, None] * bin_w[:, None, None]
-          + samp_idx[None, None, :] * bin_w[:, None, None])
-
-    y_lo, y_hi, wy_lo, wy_hi, y_ok = _bilinear_params(ys, Hl[:, None, None])
-    x_lo, x_hi, wx_lo, wx_hi, x_ok = _bilinear_params(xs, Wl[:, None, None])
-
     # Broadcast to the full sample grid [R, s, g, s, g].
-    def by(a):  # y-axis quantities -> [R, s, g, 1, 1]
+    def by(a):  # y-axis quantities [R, s, g] -> [R, s, g, 1, 1]
         return a[:, :, :, None, None]
 
-    def bx(a):  # x-axis quantities -> [R, 1, 1, s, g]
-        return a[:, None, None, :, :]
+    def bx2(a):  # x-axis quantities [R, s, g] -> [R, 1, 1, s, g]
+        return a.reshape(R, 1, 1, s, g)
 
-    ok = (by(y_ok) & bx(x_ok))
+    ok = (by(y_ok) & bx2(x_ok))
     base = off[:, None, None, None, None]
     wrow = Wl[:, None, None, None, None]
 
     # x_lo and x_lo+1 are adjacent rows of the flattened level buffer, so
     # one (2, C)-slice gather fetches both x-corners contiguously — 2
     # gathers per sample point instead of 4, each a contiguous 2C read.
-    # (XLA's row-gather lowering dominated the whole detector before:
-    # 130ms -> this formulation; x_hi weights are 0 wherever the pair
-    # would straddle a row edge, so the extra fetched row is harmless.)
-    # In fast-precision mode the gather runs in bf16: it halves both the
-    # scattered-read traffic and the [N_samples, 2, C] intermediates.
     from detectinblur_tpu.models.resnet import CONV_PRECISION
 
     gather_dtype = (jnp.bfloat16 if CONV_PRECISION == jax.lax.Precision.DEFAULT
@@ -134,7 +220,7 @@ def _roi_align_flat(
     ).astype(gather_dtype)
 
     def gather_pair(yi):
-        idx = (base + yi * wrow + bx(x_lo)).reshape(-1)
+        idx = (base + yi * wrow + bx2(x_lo)).reshape(-1)
         out = jax.vmap(
             lambda i: jax.lax.dynamic_slice(padded, (i, 0), (2, C))
         )(idx)
@@ -143,7 +229,7 @@ def _roi_align_flat(
     top = gather_pair(by(y_lo))       # [R, s, g, s, g, 2, C]
     bot = gather_pair(by(y_hi))
 
-    wx = jnp.stack([bx(wx_lo), bx(wx_hi)], axis=-1) * jnp.ones_like(by(wy_lo))[..., None]
+    wx = jnp.stack([bx2(wx_lo), bx2(wx_hi)], axis=-1) * jnp.ones_like(by(wy_lo))[..., None]
     val = (top.astype(jnp.float32) * by(wy_lo)[..., None, None]
            + bot.astype(jnp.float32) * by(wy_hi)[..., None, None])
     val = (val * wx[..., None]).sum(axis=-2)
@@ -152,8 +238,18 @@ def _roi_align_flat(
     return val.mean(axis=(2, 4)).astype(flat_feats.dtype)
 
 
+def _assign_levels(boxes, canonical_scale, canonical_level):
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    area = jnp.clip(w, 0) * jnp.clip(h, 0)
+    lvl = jnp.floor(canonical_level
+                    + jnp.log2(jnp.sqrt(area) / canonical_scale + 1e-6))
+    return jnp.clip(lvl, 2, 5).astype(jnp.int32) - 2
+
+
 @functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
-                                              "canonical_scale", "canonical_level"))
+                                              "canonical_scale",
+                                              "canonical_level", "impl"))
 def multiscale_roi_align(
     features: Sequence[jax.Array],
     boxes: jax.Array,
@@ -161,29 +257,30 @@ def multiscale_roi_align(
     sampling_ratio: int = 2,
     canonical_scale: int = 224,
     canonical_level: int = 4,
+    impl: str = "quad",
 ) -> jax.Array:
     """FPN RoIAlign over levels P2..P5.
 
     Args:
       features: 4 arrays [H_l, W_l, C] at strides 4/8/16/32 (single image).
       boxes: [R, 4] xyxy in (resized) input-image coordinates.
+      impl: "quad" (fast corner-quad take) or "scattered" (reference).
 
     Returns [R, output_size, output_size, C].
     """
     assert len(features) == 4
     C = features[0].shape[-1]
+    scales = jnp.array([0.25, 0.125, 0.0625, 0.03125], jnp.float32)
+    lvl = _assign_levels(boxes, canonical_scale, canonical_level)
+
+    if impl == "quad":
+        return _roi_align_quad(features, lvl, scales, boxes,
+                               output_size, sampling_ratio)
+
     sizes = jnp.array([[f.shape[0], f.shape[1]] for f in features], jnp.int32)
     counts = [f.shape[0] * f.shape[1] for f in features]
     offsets = jnp.array([0, counts[0], counts[0] + counts[1],
                          counts[0] + counts[1] + counts[2]], jnp.int32)
-    scales = jnp.array([0.25, 0.125, 0.0625, 0.03125], jnp.float32)
     flat = jnp.concatenate([f.reshape(-1, C) for f in features], axis=0)
-
-    w = boxes[:, 2] - boxes[:, 0]
-    h = boxes[:, 3] - boxes[:, 1]
-    area = jnp.clip(w, 0) * jnp.clip(h, 0)
-    lvl = jnp.floor(canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale + 1e-6))
-    lvl = jnp.clip(lvl, 2, 5).astype(jnp.int32) - 2
-
     return _roi_align_flat(flat, lvl, offsets, sizes, scales, boxes,
                            output_size, sampling_ratio)

@@ -93,3 +93,37 @@ def test_multiscale_levels_and_values(rng):
     for r in range(4):
         oracle = numpy_roi_align_oracle(feats[lvls[r]], boxes[r : r + 1], scales[lvls[r]])
         np.testing.assert_allclose(ours[r : r + 1], oracle, atol=1e-5)
+
+
+def test_quad_matches_scattered_on_extreme_boxes(rng):
+    """Quad-path stress: slivers, giants, tiny and degenerate boxes — all
+    clipped to an 800x1216 image — must match the scattered reference
+    gather exactly."""
+    C = 8
+    H, W = 800, 1216
+    feats = [jnp.asarray(rng.random((H // s, W // s, C), dtype=np.float32))
+             for s in (4, 8, 16, 32)]
+
+    n = 64
+    x1 = rng.uniform(0, W - 1, n)
+    y1 = rng.uniform(0, H - 1, n)
+    bw = rng.uniform(0.01, W, n)
+    bh = rng.uniform(0.01, H, n)
+    boxes = np.stack([x1, y1, np.minimum(x1 + bw, W), np.minimum(y1 + bh, H)], 1)
+    extreme = np.array(
+        [
+            [0, 0, W, H],            # whole image
+            [0, 390, W, 410],        # full-width sliver (ar ~60)
+            [600, 0, 615, H],        # full-height sliver
+            [0, 0, W, 8],            # top-edge sliver
+            [100, 100, 100.5, 100.5],  # sub-pixel
+            [5, 5, 5, 5],            # degenerate (w=h=0)
+            [1200, 790, 1216, 800],  # bottom-right corner
+        ],
+        np.float32,
+    )
+    boxes = jnp.asarray(np.concatenate([boxes, extreme]).astype(np.float32))
+
+    fast = np.asarray(multiscale_roi_align(feats, boxes, impl="quad"))
+    ref = np.asarray(multiscale_roi_align(feats, boxes, impl="scattered"))
+    np.testing.assert_allclose(fast, ref, atol=2e-5, rtol=1e-5)
