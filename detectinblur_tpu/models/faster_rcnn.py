@@ -60,7 +60,7 @@ class FasterRCNNConfig(NamedTuple):
     # Use the Pallas RoIAlign kernel (ops/roi_align_pallas.py) for the
     # box-head pooling at inference; exact for all but >960px boxes which
     # take the XLA fallback inside the kernel wrapper.
-    pallas_roi_align: bool = False
+    pallas_roi_align: bool = True   # TPU-only; CPU falls back to XLA quad
 
 
 class Detections(NamedTuple):
@@ -169,12 +169,16 @@ class FasterRCNN:
         rpn_out = run_rpn(params["rpn_head"], self.rpn_head, feats, new_hw,
                           training=False, cfg=cfg.rpn)
 
-        if cfg.pallas_roi_align:
+        if cfg.pallas_roi_align and jax.default_backend() != "cpu":
             from detectinblur_tpu.ops.roi_align_pallas import (
                 pallas_multiscale_roi_align,
             )
+            from detectinblur_tpu.models.resnet import CONV_PRECISION
 
-            pooled = pallas_multiscale_roi_align(feats[:4], rpn_out.proposals)
+            # f32 windows need double the VMEM: halve the rois per step.
+            rps = 4 if CONV_PRECISION == jax.lax.Precision.DEFAULT else 2
+            pooled = pallas_multiscale_roi_align(feats[:4], rpn_out.proposals,
+                                                 rois_per_step=rps)
 
             def per_image_pooled(pooled_i, rois, roi_valid, hw_i, orig_hw_i):
                 logits, deltas = self._head_from_pooled(params, pooled_i)

@@ -1,29 +1,46 @@
 """Pallas TPU kernel for multi-scale RoIAlign.
 
-The XLA formulation (ops/roi_align.py) is a scattered gather: ~200 sample
-points x 2 row-pair reads per roi, ~6 GB of 2 KB reads per step — it ran at
-~80 GB/s effective and dominated the detector (130 ms of a 215 ms step).
+The XLA formulations in ops/roi_align.py are gather-bound: TPU gathers pay
+a fixed per-row cost (~17-30 ns/row on v5e), so even the fastest exact XLA
+variant (the corner-quad single-row take, 1.57M rows for the 8x1000-roi
+detector batch) floors at ~60 ms. DMA engines, by contrast, stream
+*strided windows* at near-HBM bandwidth. This kernel exploits that:
 
-Kernel strategy (per roi):
-  * DMA one [W, W, C] feature *window* around the roi from its FPN level
-    into VMEM (W = 32 covers every unclamped roi: the level mapper bounds
-    roi extents to [14, 28) cells, +2 for bin spill).
-  * Express the bilinear sampling as two tiny matmuls with precomputed
-    selection matrices T_y, S_x [14, W] that carry the interpolation
-    weights (and the outside-image zero mask) — MXU work instead of
-    scattered VMEM reads.
-  * Average 2x2 sample groups into the 7x7 bins.
-  * Process ROIS_PER_STEP rois per grid step with parallel DMAs to
-    amortize copy latency.
+Per roi (replacing torchvision's CUDA roi_align, the backend of
+MultiScaleRoIAlign at reference models/faster_rcnn.py:204-208):
 
-Oversized rois (clamped-to-P5 giants, extent > 30 cells — boxes bigger
-than ~960 px) fall back to the XLA gather path; the wrapper merges by mask.
+  * One async DMA copies a [WIN_Y, WIN_X, C] feature window around the roi
+    from its (padded) FPN level into VMEM; windows for the next grid step
+    are prefetched while the current step computes (double buffering).
+  * Bilinear sampling becomes two block-diagonal MXU matmuls with
+    weight-carrying one-hot selection matrices. The 2x2-sample bin mean is
+    separable, so it is pre-folded into the selection rows (7 pre-binned
+    rows per axis instead of 14 sample rows) — the kernel emits final 7x7
+    bins with no strided reductions or sample transposes.
+
+Tiering. The FPN level mapper bounds a roi's *geometric-mean* extent to
+sqrt(area)*scale_l < 28 cells below the top level (<= max_side/32 + spill
+when clamped), so:
+
+  * Tier 1 — a [48, 56] window covers ~99% of real RPN proposals.
+  * Tier 2 — a roi can exceed 46 cells in at most ONE axis (the mean bound
+    forbids both). Oversized rois are compacted into two fixed-size
+    subsets and rerun through the same kernel with a [48, 184] window:
+    wide boxes from the row-major levels, tall boxes from transposed
+    levels (output bins transposed back). Merging uses a one-hot matmul —
+    TPU scatter serializes, an [N, K] MXU matmul does not.
+  * Tier 3 — a roi wider than ~175 cells at its level (aspect ratio > ~27
+    even for the largest boxes) or subset-budget overflow triggers a
+    whole-batch recompute on the exact XLA quad path via lax.cond.
+
+All tiers are exact (torch aligned=False semantics, identical to
+ops.roi_align.multiscale_roi_align).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,64 +48,79 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN_Y = 32            # covers every unclamped roi (extents in [14, 30])
-WIN_X = 40            # +8: the x (sublane) DMA origin must be 8-aligned
 SAMPLES = 14          # 7 bins x 2 sampling points per axis
-ROIS_PER_STEP = 8
+TIER2_K = 256         # oversized-roi budget per orientation per batch
 
 
-def _kernel(img_ref, lvl_ref, y0_ref, x0_ref,    # scalar prefetch [N]
-            p2, p3, p4, p5,                      # ANY [B, Hp, Wp, C]
-            ty_ref, sx_ref,                      # VMEM [RPS, 14, WINDOW]
-            out_ref,                             # VMEM [RPS, 7, 7, C]
-            win, sems):
-    step = pl.program_id(0)
-    C = out_ref.shape[-1]
-    levels = (p2, p3, p4, p5)
+def _kernel_factory(rps, win_y, win_x, n_steps, out_size, win_dtype):
 
-    # Kick off all DMAs for this step's rois.
-    for k in range(ROIS_PER_STEP):
-        n = step * ROIS_PER_STEP + k
-        b = img_ref[n]
-        yy = y0_ref[n]
-        xx = x0_ref[n]
-        for li, ref in enumerate(levels):
-            @pl.when(lvl_ref[n] == li)
-            def _():
-                cp = pltpu.make_async_copy(
-                    ref.at[b, pl.ds(yy, WIN_Y),
-                           pl.ds(pl.multiple_of(xx, 8), WIN_X), :],
-                    win.at[k],
-                    sems.at[k],
-                )
-                cp.start()
+    def kernel(img_ref, lvl_ref, y0_ref, x0_ref,                # scalar [N]
+               p2, p3, p4, p5,                                  # ANY levels
+               ty_ref, tx_ref,                                  # VMEM blocks
+               out_ref,                                         # VMEM block
+               win, sems):
+        step = pl.program_id(0)
+        C = out_ref.shape[-1]
+        levels = (p2, p3, p4, p5)
 
-    for k in range(ROIS_PER_STEP):
-        n = step * ROIS_PER_STEP + k
-        b = img_ref[n]
-        yy = y0_ref[n]
-        xx = x0_ref[n]
-        for li, ref in enumerate(levels):
-            @pl.when(lvl_ref[n] == li)
-            def _():
-                pltpu.make_async_copy(
-                    ref.at[b, pl.ds(yy, WIN_Y),
-                           pl.ds(pl.multiple_of(xx, 8), WIN_X), :],
-                    win.at[k],
-                    sems.at[k],
-                ).wait()
+        def dma(slot, si, k, li):
+            n = si * rps + k
+            return pltpu.make_async_copy(
+                levels[li].at[img_ref[n], pl.ds(y0_ref[n], win_y),
+                              pl.ds(pl.multiple_of(x0_ref[n], 8), win_x), :],
+                win.at[slot, k],
+                sems.at[slot, k],
+            )
 
-        w = win[k].astype(jnp.float32)                      # [W, W, C]
-        sx = sx_ref[k]                                      # [14, W]
-        ty = ty_ref[k]
-        # Contract x: [14, W] . [Wy, Wx, C] -> [14, Wy, C]
-        tx = jax.lax.dot_general(sx, w, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        # Contract y: [14, W] . [14j, Wy, C] -> [14i, 14j, C]
-        samples = jax.lax.dot_general(ty, tx, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        bins = samples.reshape(7, 2, 7, 2, C).mean(axis=(1, 3))
-        out_ref[k] = bins.astype(out_ref.dtype)
+        def start_dmas(slot, si):
+            for k in range(rps):
+                n = si * rps + k
+                for li in range(4):
+                    @pl.when(lvl_ref[n] == li)
+                    def _():
+                        dma(slot, si, k, li).start()
+
+        @pl.when(step == 0)
+        def _():
+            start_dmas(0, 0)
+
+        @pl.when(step + 1 < n_steps)
+        def _():
+            start_dmas((step + 1) % 2, step + 1)
+
+        for k in range(rps):
+            for li in range(4):
+                @pl.when(lvl_ref[step * rps + k] == li)
+                def _():
+                    dma(step % 2, step, k, li).wait()
+
+        # Block-diagonal pre-binned selection matrices [rps*7, rps*WIN].
+        ty = ty_ref[:].astype(win_dtype)      # [rps, 7, win_y]
+        tx = tx_ref[:].astype(win_dtype)
+        ty_blk = jnp.concatenate(
+            [jnp.pad(ty[k], ((0, 0), (k * win_y, (rps - 1 - k) * win_y)))
+             for k in range(rps)], axis=0)    # [rps*7, rps*win_y]
+        tx_blk = jnp.concatenate(
+            [jnp.pad(tx[k], ((0, 0), (k * win_x, (rps - 1 - k) * win_x)))
+             for k in range(rps)], axis=0)
+
+        cur = win[step % 2]                   # [rps, win_y, win_x, C]
+        w2 = cur.reshape(rps * win_y, win_x * C)
+        # Contract y: -> [rps*7, win_x*C].
+        t1 = jax.lax.dot_general(
+            ty_blk, w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # Rearrange so x is contractable: [rps*win_x, 7*C].
+        t1 = t1.reshape(rps, out_size, win_x, C).transpose(0, 2, 1, 3)
+        t1 = t1.reshape(rps * win_x, out_size * C).astype(win_dtype)
+        # Contract x: -> [rps*7x, 7y*C].
+        t2 = jax.lax.dot_general(
+            tx_blk, t1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        bins_xy = t2.reshape(rps, out_size, out_size, C)   # [r, x, y, C]
+        out_ref[:] = bins_xy.transpose(0, 2, 1, 3).astype(out_ref.dtype)
+
+    return kernel
 
 
 def _selection(lo, w_lo, w_hi, ok, origin, width):
@@ -106,172 +138,10 @@ def _selection(lo, w_lo, w_hi, ok, origin, width):
     return m_lo * w_lo[..., None] + m_hi * w_hi[..., None]
 
 
-@functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio"))
-def pallas_multiscale_roi_align(
-    features: Sequence[jax.Array],   # 4 levels [B, H_l, W_l, C]
-    boxes: jax.Array,                # [B, R, 4] xyxy in input coords
-    output_size: int = 7,
-    sampling_ratio: int = 2,
-) -> jax.Array:
-    """Batched FPN RoIAlign -> [B, R, 7, 7, C]. torch aligned=False
-    semantics, identical to ops.roi_align.multiscale_roi_align for every
-    roi whose extent fits the window; oversized rois (extent > WINDOW-2
-    cells at their level) are computed by the XLA gather path and merged.
-    """
-    from detectinblur_tpu.ops.roi_align import _bilinear_params, multiscale_roi_align
+def _geometry(flat_boxes, sizes, scales, s, g):
+    """Level assignment + per-axis bilinear params for [N, 4] boxes."""
+    from detectinblur_tpu.ops.roi_align import _bilinear_params
 
-    B, R = boxes.shape[:2]
-    N = B * R
-    C = features[0].shape[-1]
-    s, g = output_size, sampling_ratio
-    assert s * g == SAMPLES
-
-    # Pad every level by the window extents on bottom/right so any clamped
-    # window origin yields a full in-bounds slice. Fast-precision mode
-    # copies windows as bf16 (halves DMA traffic and VMEM).
-    from detectinblur_tpu.models.resnet import CONV_PRECISION
-
-    win_dtype = (jnp.bfloat16 if CONV_PRECISION == jax.lax.Precision.DEFAULT
-                 else features[0].dtype)
-    padded = [jnp.pad(f, ((0, 0), (0, WIN_Y), (0, WIN_X), (0, 0))).astype(win_dtype)
-              for f in features]
-    sizes = np.array([[f.shape[1], f.shape[2]] for f in features], np.int32)
-    scales = np.array([0.25, 0.125, 0.0625, 0.03125], np.float32)
-
-    flat_boxes = boxes.reshape(N, 4)
-    wbox = flat_boxes[:, 2] - flat_boxes[:, 0]
-    hbox = flat_boxes[:, 3] - flat_boxes[:, 1]
-    area = jnp.clip(wbox, 0) * jnp.clip(hbox, 0)
-    lvl = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(area) / 224 + 1e-6)), 2, 5
-                   ).astype(jnp.int32) - 2
-
-    scale = jnp.asarray(scales)[lvl]
-    Hl = jnp.asarray(sizes)[lvl, 0]
-    Wl = jnp.asarray(sizes)[lvl, 1]
-
-    x1 = flat_boxes[:, 0] * scale
-    y1 = flat_boxes[:, 1] * scale
-    roi_w = jnp.maximum((flat_boxes[:, 2] - flat_boxes[:, 0]) * scale, 1.0)
-    roi_h = jnp.maximum((flat_boxes[:, 3] - flat_boxes[:, 1]) * scale, 1.0)
-
-    bin_idx = jnp.arange(s, dtype=jnp.float32)
-    samp = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
-    grid = (bin_idx[:, None] + samp[None, :]).reshape(-1)    # [14]
-    ys = y1[:, None] + grid[None, :] * (roi_h / s)[:, None]  # [N, 14]
-    xs = x1[:, None] + grid[None, :] * (roi_w / s)[:, None]
-
-    y_lo, _, wy_lo, wy_hi, y_ok = _bilinear_params(ys, Hl[:, None])
-    x_lo, _, wx_lo, wx_hi, x_ok = _bilinear_params(xs, Wl[:, None])
-
-    # Window origin: cover min sample, clamped into the padded level.
-    # x origins are rounded down to the 8-aligned sublane boundary the DMA
-    # requires (the kernel re-aligns with pl.multiple_of).
-    y0 = jnp.clip(jnp.min(y_lo, axis=1), 0, jnp.maximum(Hl - 1, 0))
-    x0 = jnp.clip(jnp.min(x_lo, axis=1), 0, jnp.maximum(Wl - 1, 0))
-    x0 = (x0 // 8) * 8
-
-    oversized = ((jnp.max(y_lo, axis=1) - y0 > WIN_Y - 2)
-                 | (jnp.max(x_lo, axis=1) - x0 > WIN_X - 2))
-
-    ty = _selection(y_lo, wy_lo, wy_hi, y_ok, y0, WIN_Y)    # [N, 14, WIN_Y]
-    sx = _selection(x_lo, wx_lo, wx_hi, x_ok, x0, WIN_X)
-
-    img_idx = (jnp.arange(N, dtype=jnp.int32) // R)
-
-    n_steps = pl.cdiv(N, ROIS_PER_STEP)
-    pad_n = n_steps * ROIS_PER_STEP - N
-    if pad_n:
-        def padn(a):
-            return jnp.concatenate([a, jnp.zeros((pad_n, *a.shape[1:]), a.dtype)])
-        img_idx, lvl, y0, x0, ty, sx = map(padn, (img_idx, lvl, y0, x0, ty, sx))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((ROIS_PER_STEP, SAMPLES, WIN_Y),
-                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROIS_PER_STEP, SAMPLES, WIN_X),
-                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (ROIS_PER_STEP, output_size, output_size, C),
-            lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((ROIS_PER_STEP, WIN_Y, WIN_X, C), win_dtype),
-            pltpu.SemaphoreType.DMA((ROIS_PER_STEP,)),
-        ],
-    )
-
-    out = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_steps * ROIS_PER_STEP, output_size, output_size, C),
-            features[0].dtype),
-    )(img_idx, lvl, y0, x0, *padded, ty, sx)
-    out = out[:N]
-
-    # Oversized rois: recompute exactly with the XLA path, merge by mask.
-    any_oversized = jnp.any(oversized)
-
-    def fallback(out):
-        def one(b):
-            feats_b = tuple(f[b] for f in features)
-            return multiscale_roi_align(feats_b, boxes[b], output_size,
-                                        sampling_ratio)
-        exact = jax.vmap(one)(jnp.arange(B)).reshape(N, output_size,
-                                                     output_size, C)
-        return jnp.where(oversized[:, None, None, None], exact, out)
-
-    out = jax.lax.cond(any_oversized, fallback, lambda o: o, out)
-    return out.reshape(B, R, output_size, output_size, C)
-
-
-@functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio"))
-def window_multiscale_roi_align(
-    features: Sequence[jax.Array],   # 4 levels [B, H_l, W_l, C]
-    boxes: jax.Array,                # [B, R, 4] xyxy in input coords
-    output_size: int = 7,
-    sampling_ratio: int = 2,
-) -> jax.Array:
-    """Window + selection-matmul RoIAlign in pure XLA.
-
-    Same math as the Pallas kernel (one [WIN_Y, WIN_X, C] window per roi,
-    bilinear sampling as two batched matmuls with weight-carrying selection
-    matrices) but with the windows gathered by one big-slice dynamic-slice
-    gather from a same-shape level stack. On v5e this beats both the
-    scattered 2KB-row gather (88 ms) and the Pallas kernel (115 ms, grid
-    overhead) for the 8x1000-roi detector step. Exact except for >960 px
-    boxes, which take the scattered-gather fallback.
-    """
-    from detectinblur_tpu.ops.roi_align import _bilinear_params, multiscale_roi_align
-    from detectinblur_tpu.models.resnet import CONV_PRECISION
-
-    B, R = boxes.shape[:2]
-    N = B * R
-    C = features[0].shape[-1]
-    s, g = output_size, sampling_ratio
-
-    win_dtype = (jnp.bfloat16 if CONV_PRECISION == jax.lax.Precision.DEFAULT
-                 else features[0].dtype)
-    sizes = np.array([[f.shape[1], f.shape[2]] for f in features], np.int32)
-    scales = np.array([0.25, 0.125, 0.0625, 0.03125], np.float32)
-
-    # Same-shape level stack [B, 4, Hs, Ws, C] so a single gather can pick
-    # (image, level, window) with one dynamic slice per roi.
-    Hs = int(sizes[:, 0].max() + WIN_Y)
-    Ws = int(sizes[:, 1].max() + WIN_X)
-    stack = jnp.zeros((B, 4, Hs, Ws, C), win_dtype)
-    for li, f in enumerate(features):
-        stack = jax.lax.dynamic_update_slice(
-            stack, f.astype(win_dtype)[:, None], (0, li, 0, 0, 0))
-
-    flat_boxes = boxes.reshape(N, 4)
     wbox = flat_boxes[:, 2] - flat_boxes[:, 0]
     hbox = flat_boxes[:, 3] - flat_boxes[:, 1]
     area = jnp.clip(wbox, 0) * jnp.clip(hbox, 0)
@@ -289,46 +159,181 @@ def window_multiscale_roi_align(
 
     bin_idx = jnp.arange(s, dtype=jnp.float32)
     samp = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
-    grid = (bin_idx[:, None] + samp[None, :]).reshape(-1)
-    ys = y1[:, None] + grid[None, :] * (roi_h / s)[:, None]
+    grid = (bin_idx[:, None] + samp[None, :]).reshape(-1)    # [s*g]
+    ys = y1[:, None] + grid[None, :] * (roi_h / s)[:, None]  # [N, s*g]
     xs = x1[:, None] + grid[None, :] * (roi_w / s)[:, None]
 
-    y_lo, _, wy_lo, wy_hi, y_ok = _bilinear_params(ys, Hl[:, None])
-    x_lo, _, wx_lo, wx_hi, x_ok = _bilinear_params(xs, Wl[:, None])
+    ypar = _bilinear_params(ys, Hl[:, None])
+    xpar = _bilinear_params(xs, Wl[:, None])
+    return lvl, Hl, Wl, ypar, xpar
+
+
+def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
+                 win_dtype, rps, win_y, win_x, s, g):
+    """One pallas_call over N rois. Returns (out [N,s,s,C], oversized [N])."""
+    N = flat_boxes.shape[0]
+    C = pads[0].shape[-1]
+
+    lvl, Hl, Wl, ypar, xpar = _geometry(flat_boxes, sizes, scales, s, g)
+    y_lo, _, wy_lo, wy_hi, y_ok = ypar
+    x_lo, _, wx_lo, wx_hi, x_ok = xpar
 
     y0 = jnp.clip(jnp.min(y_lo, axis=1), 0, jnp.maximum(Hl - 1, 0))
     x0 = jnp.clip(jnp.min(x_lo, axis=1), 0, jnp.maximum(Wl - 1, 0))
+    x0 = (x0 // 8) * 8                      # sublane-aligned DMA origin
 
-    oversized = ((jnp.max(y_lo, axis=1) - y0 > WIN_Y - 2)
-                 | (jnp.max(x_lo, axis=1) - x0 > WIN_X - 2))
+    oversized = ((jnp.max(y_lo, axis=1) - y0 > win_y - 2)
+                 | (jnp.max(x_lo, axis=1) - x0 > win_x - 2))
 
-    ty = _selection(y_lo, wy_lo, wy_hi, y_ok, y0, WIN_Y)
-    sx = _selection(x_lo, wx_lo, wx_hi, x_ok, x0, WIN_X)
+    ty = _selection(y_lo, wy_lo, wy_hi, y_ok, y0, win_y)     # [N, 14, win_y]
+    tx = _selection(x_lo, wx_lo, wx_hi, x_ok, x0, win_x)
+    # Fold the separable 2x2 bin mean into the selection rows.
+    ty = 0.5 * (ty[:, 0::2] + ty[:, 1::2])                   # [N, 7, win_y]
+    tx = 0.5 * (tx[:, 0::2] + tx[:, 1::2])
 
-    img_idx = jnp.arange(N, dtype=jnp.int32) // R
+    n_steps = pl.cdiv(N, rps)
+    pad_n = n_steps * rps - N
+    img_p, lvl_p, y0_p, x0_p, ty_p, tx_p = img_idx, lvl, y0, x0, ty, tx
+    if pad_n:
+        def padn(a):
+            return jnp.concatenate([a, jnp.zeros((pad_n, *a.shape[1:]),
+                                                 a.dtype)])
+        img_p, lvl_p, y0_p, x0_p, ty_p, tx_p = map(
+            padn, (img_p, lvl_p, y0_p, x0_p, ty_p, tx_p))
 
-    def window(b, l, yy, xx):
-        return jax.lax.dynamic_slice(
-            stack, (b, l, yy, xx, 0), (1, 1, WIN_Y, WIN_X, C))[0, 0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [
+            pl.BlockSpec((rps, s, win_y),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rps, s, win_x),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rps, s, s, C),
+            lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, rps, win_y, win_x, C), win_dtype),
+            pltpu.SemaphoreType.DMA((2, rps)),
+        ],
+    )
 
-    wins = jax.vmap(window)(img_idx, lvl, y0, x0)       # [N, WIN_Y, WIN_X, C]
+    kernel = _kernel_factory(rps, win_y, win_x, n_steps, s, win_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_steps * rps, s, s, C), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_steps * (rps * s) * (rps * win_y) * win_x * C,
+            bytes_accessed=n_steps * rps * win_y * win_x * C * 2,
+            transcendentals=0,
+        ),
+    )(img_p, lvl_p, y0_p, x0_p, *pads, ty_p, tx_p)
+    return out[:N], oversized
 
-    t1 = jnp.einsum("niy,nyxc->nixc", ty.astype(win_dtype), wins,
-                    preferred_element_type=jnp.float32)
-    samples = jnp.einsum("njx,nixc->nijc", sx, t1,
-                         preferred_element_type=jnp.float32)
-    bins = samples.reshape(N, s, g, s, g, C).mean(axis=(2, 4))
-    out = bins.astype(features[0].dtype)
 
-    any_oversized = jnp.any(oversized)
+def _quad_batch(features, boxes):
+    """Exact full-batch quad path (escape hatch): [B,R,4] -> [B,R,7,7,C]."""
+    from detectinblur_tpu.ops.roi_align import multiscale_roi_align
 
-    def fallback(out):
-        def one(b):
-            feats_b = tuple(f[b] for f in features)
-            return multiscale_roi_align(feats_b, boxes[b], output_size,
-                                        sampling_ratio)
-        exact = jax.vmap(one)(jnp.arange(B)).reshape(N, s, s, C)
-        return jnp.where(oversized[:, None, None, None], exact, out)
+    def one(fs, b):
+        return multiscale_roi_align(list(fs), b)
 
-    out = jax.lax.cond(any_oversized, fallback, lambda o: o, out)
+    return jax.vmap(one)(tuple(features), boxes)
+
+
+@functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
+                                              "rois_per_step", "win_y",
+                                              "win_x", "tier2_win"))
+def pallas_multiscale_roi_align(
+    features: Sequence[jax.Array],   # 4 levels [B, H_l, W_l, C]
+    boxes: jax.Array,                # [B, R, 4] xyxy in input coords
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    rois_per_step: int = 4,
+    win_y: int = 48,
+    win_x: int = 56,
+    tier2_win: int = 184,
+) -> jax.Array:
+    """Batched FPN RoIAlign -> [B, R, 7, 7, C]; see module docstring."""
+    from detectinblur_tpu.models.resnet import CONV_PRECISION
+
+    B, R = boxes.shape[:2]
+    N = B * R
+    C = features[0].shape[-1]
+    s, g = output_size, sampling_ratio
+    assert s * g == SAMPLES
+
+    win_dtype = (jnp.bfloat16 if CONV_PRECISION == jax.lax.Precision.DEFAULT
+                 else features[0].dtype)
+    out_dtype = features[0].dtype
+
+    # Padded level copies so any clamped window origin yields an in-bounds
+    # strided DMA (tier-2 reuses them, so pad by the fat window).
+    pads = [jnp.pad(f, ((0, 0), (0, win_y), (0, tier2_win), (0, 0))
+                    ).astype(win_dtype) for f in features]
+    sizes = np.array([[f.shape[1], f.shape[2]] for f in features], np.int32)
+    scales = np.array([0.25, 0.125, 0.0625, 0.03125], np.float32)
+
+    flat_boxes = boxes.reshape(N, 4)
+    img_idx = (jnp.arange(N, dtype=jnp.int32) // R)
+
+    # ------------------------------------------------------------- tier 1
+    out, oversized = _kernel_pass(
+        pads, flat_boxes, img_idx, sizes, scales, out_dtype, win_dtype,
+        rois_per_step, win_y, win_x, s, g)
+
+    # ------------------------------------------------------------- tier 2
+    # A roi can exceed the window in at most one axis (the level mapper
+    # bounds the geometric-mean extent), so two oriented fat-window passes
+    # cover every oversized roi: wide boxes row-major, tall boxes from
+    # transposed levels.
+    k = min(TIER2_K, N)
+    wbox = flat_boxes[:, 2] - flat_boxes[:, 0]
+    hbox = flat_boxes[:, 3] - flat_boxes[:, 1]
+    tall = hbox > wbox
+
+    def tier2(out, subset_mask, swap):
+        # Returns a dense [N,s,s,C] correction (zero off-subset) + residual.
+        _, idx = jax.lax.top_k(subset_mask.astype(jnp.float32), k)
+        sub_boxes = flat_boxes[idx]
+        if swap:
+            sub_boxes = sub_boxes[:, jnp.array([1, 0, 3, 2])]
+            sub_pads = [jnp.pad(jnp.transpose(f, (0, 2, 1, 3)),
+                                ((0, 0), (0, win_y), (0, tier2_win), (0, 0))
+                                ).astype(win_dtype) for f in features]
+            sub_sizes = sizes[:, ::-1].copy()
+        else:
+            sub_pads = pads
+            sub_sizes = sizes
+        sub_out, sub_over = _kernel_pass(
+            sub_pads, sub_boxes, img_idx[idx], sub_sizes, scales, out_dtype,
+            win_dtype, 1, win_y, tier2_win, s, g)
+        if swap:
+            sub_out = jnp.transpose(sub_out, (0, 2, 1, 3))
+        # Merge by one-hot matmul (TPU scatter serializes; the MXU doesn't).
+        apply = subset_mask[idx]
+        delta = jnp.where(apply[:, None, None, None],
+                          sub_out.astype(jnp.float32)
+                          - out[idx].astype(jnp.float32), 0.0)
+        onehot = (idx[None, :] == jnp.arange(N)[:, None]).astype(win_dtype)
+        corr = jnp.matmul(onehot, delta.reshape(k, -1).astype(win_dtype),
+                          preferred_element_type=jnp.float32)
+        # Residual: tier-2 member that still overflowed, or budget overflow.
+        residual = (jnp.sum(sub_over & apply)
+                    + jnp.maximum(jnp.sum(subset_mask) - k, 0))
+        return corr.reshape(out.shape), residual
+
+    corr_w, resid_w = tier2(out, oversized & ~tall, swap=False)
+    corr_t, resid_t = tier2(out, oversized & tall, swap=True)
+    out = (out.astype(jnp.float32) + corr_w + corr_t).astype(out_dtype)
+
+    # ------------------------------------------------------------- tier 3
+    out = jax.lax.cond(
+        resid_w + resid_t > 0,
+        lambda _: _quad_batch(features, boxes).reshape(N, s, s, C),
+        lambda o_: o_,
+        out,
+    )
     return out.reshape(B, R, s, s, C)
