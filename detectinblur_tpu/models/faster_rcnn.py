@@ -177,8 +177,14 @@ class FasterRCNN:
 
             # f32 windows need double the VMEM: halve the rois per step.
             rps = 4 if CONV_PRECISION == jax.lax.Precision.DEFAULT else 2
+            # Tier-1/2 window sized to the bucket's P5 geometric-mean bound
+            # (sqrt(Hb*Wb)/32 + spill), rounded to the sublane multiple.
+            import math
+            bound = math.sqrt(bucket[0] * bucket[1]) / 32 + 3
+            wy = max(32, int(math.ceil(bound / 8)) * 8)
             pooled = pallas_multiscale_roi_align(feats[:4], rpn_out.proposals,
-                                                 rois_per_step=rps)
+                                                 rois_per_step=rps,
+                                                 win_y=wy, win_x=wy + 8)
 
             def per_image_pooled(pooled_i, rois, roi_valid, hw_i, orig_hw_i):
                 logits, deltas = self._head_from_pooled(params, pooled_i)

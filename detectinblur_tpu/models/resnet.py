@@ -34,7 +34,7 @@ class FrozenBatchNorm(nn.Module):
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return x * scale + bias
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 # Checkpoint-parity requires f32 accumulation; on TPU the default conv
@@ -49,6 +49,11 @@ _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
 }
 CONV_PRECISION = _PRECISIONS[_os.environ.get("DETECTINBLUR_PRECISION", "highest")]
+# In throughput mode the backbone is HBM-bandwidth bound (f32 residual
+# chains at 208x312x256 dominate the profile), so activations are kept in
+# bfloat16 end-to-end; parity mode stays f32.
+ACT_DTYPE = (jnp.bfloat16 if CONV_PRECISION == jax.lax.Precision.DEFAULT
+             else jnp.float32)
 
 
 def _conv(features, kernel, stride=1, name=None, padding=None):
@@ -61,9 +66,52 @@ def _conv(features, kernel, stride=1, name=None, padding=None):
         padding=padding,
         use_bias=False,
         name=name,
-        dtype=jnp.float32,
+        dtype=ACT_DTYPE,
         precision=CONV_PRECISION,
     )
+
+
+class _StemConv(nn.Module):
+    """The 7x7/stride-2 stem conv, computed via space-to-depth.
+
+    A 3-channel 7x7 conv runs at a few percent of MXU peak (the contraction
+    is 147-long and the input layout needs an expensive relayout copy). The
+    exact same operator is a VALID 4x4/stride-1 conv over the factor-2
+    space-to-depth transform of the padded input (12 channels, 192-long
+    contraction, natural layout): out(i,j) = sum_{a,b,c} w7[a,b,c] *
+    xpad[2i+a, 2j+b, c] with a = 2t+p splits into a 4x4 kernel over the
+    (p,q,c) phase channels. The parameter stays the torchvision-shaped
+    [7,7,3,64] kernel at the same tree path (conv1/kernel), so checkpoint
+    conversion is unchanged; the rewrite happens at trace time.
+    """
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w7 = self.param("kernel", nn.initializers.lecun_normal(),
+                        (7, 7, cin, self.features))
+        B, H, W, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        if (H + 6) % 2 or (W + 6) % 2:
+            # Odd padded extent (non-/2 input): plain 7x7 path.
+            return jax.lax.conv_general_dilated(
+                xp, w7.astype(x.dtype), (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=CONV_PRECISION)
+        Hp, Wp = H + 6, W + 6
+        x2 = xp.reshape(B, Hp // 2, 2, Wp // 2, 2, cin)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp // 2, Wp // 2,
+                                                    4 * cin)
+        w8 = jnp.pad(w7, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        w4 = w8.reshape(4, 2, 4, 2, cin, self.features)
+        w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin,
+                                                    self.features)
+        return jax.lax.conv_general_dilated(
+            x2, w4.astype(x.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=CONV_PRECISION)
 
 
 class Bottleneck(nn.Module):
@@ -129,7 +177,8 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         block, layers = RESNET_SPECS[self.arch]
-        x = _conv(64, 7, stride=2, name="conv1", padding=[(3, 3), (3, 3)])(x)
+        x = x.astype(ACT_DTYPE)
+        x = _StemConv(64, name="conv1")(x)
         x = self.norm(64, name="bn1")(x)
         x = nn.relu(x)
         # torch maxpool 3x3 stride 2 pad 1: explicit -inf padding.
@@ -157,7 +206,7 @@ class FPN(nn.Module):
     def __call__(self, feats: Sequence[jax.Array]):
         laterals = [
             nn.Conv(self.out_channels, (1, 1), name=f"inner_{i}",
-                    precision=CONV_PRECISION)(f)
+                    dtype=ACT_DTYPE, precision=CONV_PRECISION)(f)
             for i, f in enumerate(feats)
         ]
         ps = [laterals[-1]]
@@ -171,7 +220,8 @@ class FPN(nn.Module):
             ps.insert(0, laterals[i] + up)
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    name=f"layer_{i}", precision=CONV_PRECISION)(p)
+                    name=f"layer_{i}", dtype=ACT_DTYPE,
+                    precision=CONV_PRECISION)(p)
             for i, p in enumerate(ps)
         ]
         # LastLevelMaxPool: 1x1 window, stride 2 == subsample by 2.
