@@ -209,3 +209,45 @@ def masks_from_segmentation(segm, h: int, w: int) -> np.ndarray:
     if isinstance(segm, dict):
         return decode(segm)
     raise TypeError(type(segm))
+
+
+# ----------------------------------------------------------- nms
+def bbNms(boxes: np.ndarray, thr: float) -> np.ndarray:
+    """Greedy NMS over xywh boxes (maskApi.h bbNms). Returns keep mask."""
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+    n = len(boxes)
+    keep = np.ones(n, bool)
+    x1, y1 = boxes[:, 0], boxes[:, 1]
+    x2, y2 = boxes[:, 0] + boxes[:, 2], boxes[:, 1] + boxes[:, 3]
+    areas = boxes[:, 2] * boxes[:, 3]
+    for i in range(n):
+        if not keep[i]:
+            continue
+        for j in range(i + 1, n):
+            if not keep[j]:
+                continue
+            iw = min(x2[i], x2[j]) - max(x1[i], x1[j])
+            ih = min(y2[i], y2[j]) - max(y1[i], y1[j])
+            if iw <= 0 or ih <= 0:
+                continue
+            inter = iw * ih
+            union = areas[i] + areas[j] - inter
+            if union > 0 and inter / union > thr:
+                keep[j] = False
+    return keep
+
+
+def rleNms(rles: Sequence[RLE], thr: float) -> np.ndarray:
+    """Greedy NMS over RLE masks (maskApi.h rleNms). Returns keep mask."""
+    n = len(rles)
+    keep = np.ones(n, bool)
+    for i in range(n):
+        if not keep[i]:
+            continue
+        for j in range(i + 1, n):
+            if not keep[j]:
+                continue
+            u = iou_matrix([rles[i]], [rles[j]], np.zeros(1, bool))[0, 0]
+            if u > thr:
+                keep[j] = False
+    return keep

@@ -56,7 +56,7 @@ ACT_DTYPE = (jnp.bfloat16 if CONV_PRECISION == jax.lax.Precision.DEFAULT
              else jnp.float32)
 
 
-def _conv(features, kernel, stride=1, name=None, padding=None):
+def _conv(features, kernel, stride=1, name=None, padding=None, groups=1):
     if padding is None:
         padding = [(kernel // 2, kernel // 2)] * 2
     return nn.Conv(
@@ -65,6 +65,7 @@ def _conv(features, kernel, stride=1, name=None, padding=None):
         strides=(stride, stride),
         padding=padding,
         use_bias=False,
+        feature_group_count=groups,
         name=name,
         dtype=ACT_DTYPE,
         precision=CONV_PRECISION,
@@ -115,20 +116,25 @@ class _StemConv(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    width: int           # bottleneck width (conv2 channels)
+    width: int           # torchvision "planes" (conv3 out = width * 4)
     stride: int = 1
     expansion: int = 4
     norm: Callable[..., nn.Module] = FrozenBatchNorm
+    groups: int = 1          # ResNeXt cardinality
+    base_width: int = 64     # ResNeXt width per group
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         out_ch = self.width * self.expansion
+        # torchvision: width = int(planes * base_width/64) * groups.
+        mid = int(self.width * self.base_width / 64) * self.groups
         identity = x
-        y = _conv(self.width, 1, name="conv1")(x)
-        y = self.norm(self.width, name="bn1")(y)
+        y = _conv(mid, 1, name="conv1")(x)
+        y = self.norm(mid, name="bn1")(y)
         y = nn.relu(y)
-        y = _conv(self.width, 3, stride=self.stride, name="conv2")(y)
-        y = self.norm(self.width, name="bn2")(y)
+        y = _conv(mid, 3, stride=self.stride, name="conv2",
+                  groups=self.groups)(y)
+        y = self.norm(mid, name="bn2")(y)
         y = nn.relu(y)
         y = _conv(out_ch, 1, name="conv3")(y)
         y = self.norm(out_ch, name="bn3")(y)
@@ -159,11 +165,14 @@ class BasicBlock(nn.Module):
 
 
 RESNET_SPECS = {
-    "resnet18": (BasicBlock, (2, 2, 2, 2)),
-    "resnet34": (BasicBlock, (3, 4, 6, 3)),
-    "resnet50": (Bottleneck, (3, 4, 6, 3)),
-    "resnet101": (Bottleneck, (3, 4, 23, 3)),
-    "resnet152": (Bottleneck, (3, 8, 36, 3)),
+    "resnet18": (BasicBlock, (2, 2, 2, 2), {}),
+    "resnet34": (BasicBlock, (3, 4, 6, 3), {}),
+    "resnet50": (Bottleneck, (3, 4, 6, 3), {}),
+    "resnet101": (Bottleneck, (3, 4, 23, 3), {}),
+    "resnet152": (Bottleneck, (3, 8, 36, 3), {}),
+    # reference versatile_backbone_models.py:31-96 also offers resnext101.
+    "resnext101_32x8d": (Bottleneck, (3, 4, 23, 3),
+                         {"groups": 32, "base_width": 8}),
 }
 
 
@@ -176,7 +185,7 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        block, layers = RESNET_SPECS[self.arch]
+        block, layers, block_kw = RESNET_SPECS[self.arch]
         x = x.astype(ACT_DTYPE)
         x = _StemConv(64, name="conv1")(x)
         x = self.norm(64, name="bn1")(x)
@@ -191,7 +200,7 @@ class ResNet(nn.Module):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and i > 0) else 1
                 x = block(width, stride=stride, norm=self.norm,
-                          name=f"layer{i + 1}_{b}")(x, train=train)
+                          name=f"layer{i + 1}_{b}", **block_kw)(x, train=train)
             outs.append(x)
         return tuple(outs)
 

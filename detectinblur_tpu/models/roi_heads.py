@@ -33,10 +33,12 @@ class TwoMLPHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from detectinblur_tpu.models.resnet import CONV_PRECISION as prec
+        from detectinblur_tpu.models.resnet import ACT_DTYPE, CONV_PRECISION as prec
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.representation_size, name="fc6", precision=prec)(x))
-        x = nn.relu(nn.Dense(self.representation_size, name="fc7", precision=prec)(x))
+        x = nn.relu(nn.Dense(self.representation_size, name="fc6",
+                             dtype=ACT_DTYPE, precision=prec)(x))
+        x = nn.relu(nn.Dense(self.representation_size, name="fc7",
+                             dtype=ACT_DTYPE, precision=prec)(x))
         return x
 
 
@@ -45,10 +47,13 @@ class FastRCNNPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from detectinblur_tpu.models.resnet import CONV_PRECISION as prec
-        scores = nn.Dense(self.num_classes, name="cls_score", precision=prec)(x)
-        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred", precision=prec)(x)
-        return scores, deltas
+        from detectinblur_tpu.models.resnet import ACT_DTYPE, CONV_PRECISION as prec
+        scores = nn.Dense(self.num_classes, name="cls_score",
+                          dtype=ACT_DTYPE, precision=prec)(x)
+        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred",
+                          dtype=ACT_DTYPE, precision=prec)(x)
+        # f32 for softmax/threshold/NMS and box decode downstream.
+        return scores.astype(jnp.float32), deltas.astype(jnp.float32)
 
 
 class BoxHeadConfig(NamedTuple):

@@ -32,16 +32,20 @@ class RPNHead(nn.Module):
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array]):
-        from detectinblur_tpu.models.resnet import CONV_PRECISION as prec
+        from detectinblur_tpu.models.resnet import ACT_DTYPE, CONV_PRECISION as prec
         conv = nn.Conv(self.in_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                       name="conv", precision=prec)
-        cls = nn.Conv(self.num_anchors, (1, 1), name="cls_logits", precision=prec)
-        bbox = nn.Conv(self.num_anchors * 4, (1, 1), name="bbox_pred", precision=prec)
+                       name="conv", dtype=ACT_DTYPE, precision=prec)
+        cls = nn.Conv(self.num_anchors, (1, 1), name="cls_logits",
+                      dtype=ACT_DTYPE, precision=prec)
+        bbox = nn.Conv(self.num_anchors * 4, (1, 1), name="bbox_pred",
+                       dtype=ACT_DTYPE, precision=prec)
         logits, deltas = [], []
         for f in features:
             t = nn.relu(conv(f))
-            logits.append(cls(t))
-            deltas.append(bbox(t))
+            # Heads emit f32: objectness feeds top-k/NMS ordering and the
+            # deltas feed box decode, where bf16 step noise is visible.
+            logits.append(cls(t).astype(jnp.float32))
+            deltas.append(bbox(t).astype(jnp.float32))
         return logits, deltas
 
 

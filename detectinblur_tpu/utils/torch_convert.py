@@ -90,7 +90,7 @@ def convert_fasterrcnn_state_dict(
     bn = (lambda p: _fold_frozen_bn(sd, p, bn_eps)) if frozen_bn else (
         lambda p: _bn_params(sd, p))
 
-    _, layers = RESNET_SPECS[arch]
+    _, layers, _ = RESNET_SPECS[arch]
     body: Dict = {}
     body["conv1"] = {"kernel": _conv_kernel(sd["backbone.body.conv1.weight"])}
     body["bn1"] = bn("backbone.body.bn1")
@@ -173,7 +173,7 @@ def convert_fasterrcnn_bn_stats(
     for --mode_one_norm via models.batchnorm.set_num_batches_tracked)."""
     from detectinblur_tpu.models.resnet import RESNET_SPECS
 
-    _, layers = RESNET_SPECS[arch]
+    _, layers, _ = RESNET_SPECS[arch]
     body: Dict = {"bn1": _bn_stats(sd, "backbone.body.bn1", num_batches)}
     for li, n_blocks in enumerate(layers, start=1):
         for b in range(n_blocks):

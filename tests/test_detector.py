@@ -91,3 +91,19 @@ def test_dryrun_multichip_8():
 
     assert jax.device_count() >= 8
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_resnext_torso_forward():
+    """resnext101_32x8d grouped-conv trunk (reference
+    versatile_backbone_models.py torso option) produces the usual C2..C5."""
+    import jax
+    import jax.numpy as jnp
+    from detectinblur_tpu.models.resnet import ResNet
+
+    m = ResNet("resnext101_32x8d")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = m.init(jax.random.key(0), x)["params"]
+    # conv2 of layer1 block 0 must be grouped: kernel [3,3,in/groups=8,256].
+    assert params["layer1_0"]["conv2"]["kernel"].shape == (3, 3, 8, 256)
+    outs = m.apply({"params": params}, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]

@@ -58,3 +58,20 @@ def test_native_merge_and_bbox(lib, rng):
     bb = np.zeros(4, np.float64)
     lib.rle_to_bbox(ca, len(ca), 20, bb)
     np.testing.assert_allclose(bb, [4, 3, 6, 5])
+
+
+def test_bb_and_rle_nms():
+    """maskApi.h rleNms/bbNms greedy semantics (keep earlier, drop IoU>thr)."""
+    import numpy as np
+    from detectinblur_tpu.eval import rle
+
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 10, 10], [20, 20, 5, 5]], float)
+    keep = rle.bbNms(boxes, 0.5)
+    assert keep.tolist() == [True, False, True]
+
+    m1 = np.zeros((12, 12), np.uint8); m1[0:10, 0:10] = 1
+    m2 = np.zeros((12, 12), np.uint8); m2[1:11, 1:11] = 1
+    m3 = np.zeros((12, 12), np.uint8); m3[11:, 11:] = 1
+    rles = [rle.encode(m) for m in (m1, m2, m3)]
+    keep = rle.rleNms(rles, 0.5)
+    assert keep.tolist() == [True, False, True]
