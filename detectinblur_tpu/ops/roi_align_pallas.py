@@ -169,17 +169,31 @@ def _geometry(flat_boxes, sizes, scales, s, g):
 
 
 def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
-                 win_dtype, rps, win_y, win_x, s, g):
-    """One pallas_call over N rois. Returns (out [N,s,s,C], oversized [N])."""
+                 win_dtype, rps, win_y, win_x, s, g, pad_y=None, pad_x=None):
+    """One pallas_call over N rois. Returns (out [N,s,s,C], oversized [N]).
+
+    ``pad_y``/``pad_x``: how much bottom/right zero padding the level
+    buffers actually carry (defaults to the window size). When the window
+    is wider than the padding (tier 2 reuses tier-1 buffers), origins are
+    clamped leftward/upward so the DMA stays in bounds — the selection
+    matrices reference the clamped origin, so results stay exact, and the
+    window still reaches the level edge."""
     N = flat_boxes.shape[0]
     C = pads[0].shape[-1]
+    # Actual per-level bottom/right padding of the buffers.
+    pad_y = np.full(len(pads), win_y) if pad_y is None else np.asarray(pad_y)
+    pad_x = np.full(len(pads), win_x) if pad_x is None else np.asarray(pad_x)
 
     lvl, Hl, Wl, ypar, xpar = _geometry(flat_boxes, sizes, scales, s, g)
     y_lo, _, wy_lo, wy_hi, y_ok = ypar
     x_lo, _, wx_lo, wx_hi, x_ok = xpar
 
-    y0 = jnp.clip(jnp.min(y_lo, axis=1), 0, jnp.maximum(Hl - 1, 0))
-    x0 = jnp.clip(jnp.min(x_lo, axis=1), 0, jnp.maximum(Wl - 1, 0))
+    pad_y_l = jnp.asarray(pad_y, jnp.int32)[lvl]
+    pad_x_l = jnp.asarray(pad_x, jnp.int32)[lvl]
+    max_y0 = jnp.maximum(Hl + (pad_y_l - win_y), 0)
+    max_x0 = (jnp.maximum(Wl + (pad_x_l - win_x), 0) // 8) * 8
+    y0 = jnp.clip(jnp.min(y_lo, axis=1), 0, max_y0)
+    x0 = jnp.clip(jnp.min(x_lo, axis=1), 0, max_x0)
     x0 = (x0 // 8) * 8                      # sublane-aligned DMA origin
 
     oversized = ((jnp.max(y_lo, axis=1) - y0 > win_y - 2)
@@ -270,9 +284,12 @@ def pallas_multiscale_roi_align(
     out_dtype = features[0].dtype
 
     # Padded level copies so any clamped window origin yields an in-bounds
-    # strided DMA (tier-2 reuses them, so pad by the fat window).
-    pads = [jnp.pad(f, ((0, 0), (0, win_y), (0, tier2_win), (0, 0))
-                    ).astype(win_dtype) for f in features]
+    # strided DMA. Tier 2 reuses these buffers with its fat window by
+    # clamping origins (see _kernel_pass); each level therefore needs a
+    # right pad of at least tier2_win - W_l (only small levels pay extra).
+    pad_xs = [max(win_x, tier2_win - f.shape[2]) for f in features]
+    pads = [jnp.pad(f, ((0, 0), (0, win_y), (0, px), (0, 0))
+                    ).astype(win_dtype) for f, px in zip(features, pad_xs)]
     sizes = np.array([[f.shape[1], f.shape[2]] for f in features], np.int32)
     scales = np.array([0.25, 0.125, 0.0625, 0.03125], np.float32)
 
@@ -282,7 +299,7 @@ def pallas_multiscale_roi_align(
     # ------------------------------------------------------------- tier 1
     out, oversized = _kernel_pass(
         pads, flat_boxes, img_idx, sizes, scales, out_dtype, win_dtype,
-        rois_per_step, win_y, win_x, s, g)
+        rois_per_step, win_y, win_x, s, g, pad_x=pad_xs)
 
     # ------------------------------------------------------------- tier 2
     # A roi can exceed the window in at most one axis (the level mapper
@@ -300,16 +317,20 @@ def pallas_multiscale_roi_align(
         sub_boxes = flat_boxes[idx]
         if swap:
             sub_boxes = sub_boxes[:, jnp.array([1, 0, 3, 2])]
+            sub_pad_xs = [max(win_x, tier2_win - f.shape[1])
+                          for f in features]
             sub_pads = [jnp.pad(jnp.transpose(f, (0, 2, 1, 3)),
-                                ((0, 0), (0, win_y), (0, tier2_win), (0, 0))
-                                ).astype(win_dtype) for f in features]
+                                ((0, 0), (0, win_y), (0, px), (0, 0))
+                                ).astype(win_dtype)
+                        for f, px in zip(features, sub_pad_xs)]
             sub_sizes = sizes[:, ::-1].copy()
         else:
+            sub_pad_xs = pad_xs
             sub_pads = pads
             sub_sizes = sizes
         sub_out, sub_over = _kernel_pass(
             sub_pads, sub_boxes, img_idx[idx], sub_sizes, scales, out_dtype,
-            win_dtype, 1, win_y, tier2_win, s, g)
+            win_dtype, 1, win_y, tier2_win, s, g, pad_x=sub_pad_xs)
         if swap:
             sub_out = jnp.transpose(sub_out, (0, 2, 1, 3))
         # Merge by one-hot matmul (TPU scatter serializes; the MXU doesn't).
