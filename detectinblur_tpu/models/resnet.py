@@ -73,17 +73,17 @@ def _conv(features, kernel, stride=1, name=None, padding=None, groups=1):
 
 
 class _StemConv(nn.Module):
-    """The 7x7/stride-2 stem conv, computed via space-to-depth.
+    """The 7x7/stride-2 stem conv.
 
-    A 3-channel 7x7 conv runs at a few percent of MXU peak (the contraction
-    is 147-long and the input layout needs an expensive relayout copy). The
-    exact same operator is a VALID 4x4/stride-1 conv over the factor-2
-    space-to-depth transform of the padded input (12 channels, 192-long
-    contraction, natural layout): out(i,j) = sum_{a,b,c} w7[a,b,c] *
-    xpad[2i+a, 2j+b, c] with a = 2t+p splits into a 4x4 kernel over the
-    (p,q,c) phase channels. The parameter stays the torchvision-shaped
-    [7,7,3,64] kernel at the same tree path (conv1/kernel), so checkpoint
-    conversion is unchanged; the rewrite happens at trace time.
+    Perf note (v5e, measured): the classic space-to-depth rewrite (4x4
+    VALID conv over factor-2 s2d phases) makes the conv itself 3x faster,
+    but XLA tiles any C<=3-minor tensor with 42x lane-padding amplification
+    so the surrounding pad/reshape copies cost more than they save (11.3 ms
+    vs 8.0 ms for the plain conv in bf16); a fused Pallas stem
+    (ops/stem_pallas.py) removes the copies but currently only lowers in
+    interpreter mode (Mosaic strided-slice limitations). Until that lands,
+    the plain conv is the fastest correct choice. The parameter keeps the
+    torchvision [7,7,3,64] shape at tree path conv1/kernel.
     """
 
     features: int = 64
@@ -93,24 +93,8 @@ class _StemConv(nn.Module):
         cin = x.shape[-1]
         w7 = self.param("kernel", nn.initializers.lecun_normal(),
                         (7, 7, cin, self.features))
-        B, H, W, _ = x.shape
-        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-        if (H + 6) % 2 or (W + 6) % 2:
-            # Odd padded extent (non-/2 input): plain 7x7 path.
-            return jax.lax.conv_general_dilated(
-                xp, w7.astype(x.dtype), (2, 2), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=CONV_PRECISION)
-        Hp, Wp = H + 6, W + 6
-        x2 = xp.reshape(B, Hp // 2, 2, Wp // 2, 2, cin)
-        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp // 2, Wp // 2,
-                                                    4 * cin)
-        w8 = jnp.pad(w7, ((0, 1), (0, 1), (0, 0), (0, 0)))
-        w4 = w8.reshape(4, 2, 4, 2, cin, self.features)
-        w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin,
-                                                    self.features)
         return jax.lax.conv_general_dilated(
-            x2, w4.astype(x.dtype), (1, 1), "VALID",
+            x, w7.astype(x.dtype), (2, 2), [(3, 3), (3, 3)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=CONV_PRECISION)
 
