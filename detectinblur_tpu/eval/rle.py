@@ -241,13 +241,14 @@ def rleNms(rles: Sequence[RLE], thr: float) -> np.ndarray:
     """Greedy NMS over RLE masks (maskApi.h rleNms). Returns keep mask."""
     n = len(rles)
     keep = np.ones(n, bool)
+    if n == 0:
+        return keep
+    # Pairwise IoUs don't depend on suppression state: one matrix call.
+    ious = iou_matrix(rles, rles, np.zeros(n, bool))
     for i in range(n):
         if not keep[i]:
             continue
         for j in range(i + 1, n):
-            if not keep[j]:
-                continue
-            u = iou_matrix([rles[i]], [rles[j]], np.zeros(1, bool))[0, 0]
-            if u > thr:
+            if keep[j] and ious[j, i] > thr:
                 keep[j] = False
     return keep

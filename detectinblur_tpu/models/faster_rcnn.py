@@ -58,9 +58,9 @@ class FasterRCNNConfig(NamedTuple):
     # --mode_one_norm / acclimation, models/batchnorm.py remedies).
     bn_mode: Optional[str] = None
     # Use the Pallas RoIAlign kernel (ops/roi_align_pallas.py) for the
-    # box-head pooling at inference; exact for all but >960px boxes which
-    # take the XLA fallback inside the kernel wrapper.
-    pallas_roi_align: bool = True   # TPU-only; CPU falls back to XLA quad
+    # box-head pooling at inference; exact at every tier (oversized rois
+    # rerun through fat windows / the XLA quad escape inside the wrapper).
+    pallas_roi_align: bool = True   # TPU-only; other backends use XLA quad
 
 
 class Detections(NamedTuple):
@@ -169,7 +169,7 @@ class FasterRCNN:
         rpn_out = run_rpn(params["rpn_head"], self.rpn_head, feats, new_hw,
                           training=False, cfg=cfg.rpn)
 
-        if cfg.pallas_roi_align and jax.default_backend() != "cpu":
+        if cfg.pallas_roi_align and jax.default_backend() in ("tpu", "axon"):
             from detectinblur_tpu.ops.roi_align_pallas import (
                 pallas_multiscale_roi_align,
             )

@@ -139,33 +139,17 @@ def _selection(lo, w_lo, w_hi, ok, origin, width):
 
 
 def _geometry(flat_boxes, sizes, scales, s, g):
-    """Level assignment + per-axis bilinear params for [N, 4] boxes."""
-    from detectinblur_tpu.ops.roi_align import _bilinear_params
+    """Level assignment + per-axis bilinear params for [N, 4] boxes —
+    delegates to ops.roi_align so the Pallas path can never diverge from
+    the XLA reference geometry."""
+    from detectinblur_tpu.ops.roi_align import _assign_levels, _level_geometry
 
-    wbox = flat_boxes[:, 2] - flat_boxes[:, 0]
-    hbox = flat_boxes[:, 3] - flat_boxes[:, 1]
-    area = jnp.clip(wbox, 0) * jnp.clip(hbox, 0)
-    lvl = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(area) / 224 + 1e-6)), 2, 5
-                   ).astype(jnp.int32) - 2
-
-    scale = jnp.asarray(scales)[lvl]
-    Hl = jnp.asarray(sizes)[lvl, 0]
-    Wl = jnp.asarray(sizes)[lvl, 1]
-
-    x1 = flat_boxes[:, 0] * scale
-    y1 = flat_boxes[:, 1] * scale
-    roi_w = jnp.maximum(wbox * scale, 1.0)
-    roi_h = jnp.maximum(hbox * scale, 1.0)
-
-    bin_idx = jnp.arange(s, dtype=jnp.float32)
-    samp = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
-    grid = (bin_idx[:, None] + samp[None, :]).reshape(-1)    # [s*g]
-    ys = y1[:, None] + grid[None, :] * (roi_h / s)[:, None]  # [N, s*g]
-    xs = x1[:, None] + grid[None, :] * (roi_w / s)[:, None]
-
-    ypar = _bilinear_params(ys, Hl[:, None])
-    xpar = _bilinear_params(xs, Wl[:, None])
-    return lvl, Hl, Wl, ypar, xpar
+    N = flat_boxes.shape[0]
+    lvl = _assign_levels(flat_boxes, 224, 4)
+    ypar, xpar, Hl, Wl = _level_geometry(
+        flat_boxes, lvl, jnp.asarray(sizes), jnp.asarray(scales), s, g)
+    flat = lambda t: tuple(a.reshape(N, s * g) for a in t)
+    return lvl, Hl, Wl, flat(ypar), flat(xpar)
 
 
 def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
@@ -259,7 +243,8 @@ def _quad_batch(features, boxes):
 
 @functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
                                               "rois_per_step", "win_y",
-                                              "win_x", "tier2_win"))
+                                              "win_x", "tier2_win",
+                                              "tier2_k"))
 def pallas_multiscale_roi_align(
     features: Sequence[jax.Array],   # 4 levels [B, H_l, W_l, C]
     boxes: jax.Array,                # [B, R, 4] xyxy in input coords
@@ -269,6 +254,7 @@ def pallas_multiscale_roi_align(
     win_y: int = 48,
     win_x: int = 56,
     tier2_win: int = 184,
+    tier2_k: int | None = None,
 ) -> jax.Array:
     """Batched FPN RoIAlign -> [B, R, 7, 7, C]; see module docstring."""
     from detectinblur_tpu.models.resnet import CONV_PRECISION
@@ -306,7 +292,7 @@ def pallas_multiscale_roi_align(
     # bounds the geometric-mean extent), so two oriented fat-window passes
     # cover every oversized roi: wide boxes row-major, tall boxes from
     # transposed levels.
-    k = min(TIER2_K, N)
+    k = min(TIER2_K if tier2_k is None else tier2_k, N)
     wbox = flat_boxes[:, 2] - flat_boxes[:, 0]
     hbox = flat_boxes[:, 3] - flat_boxes[:, 1]
     tall = hbox > wbox
@@ -339,7 +325,9 @@ def pallas_multiscale_roi_align(
                           sub_out.astype(jnp.float32)
                           - out[idx].astype(jnp.float32), 0.0)
         onehot = (idx[None, :] == jnp.arange(N)[:, None]).astype(win_dtype)
+        from detectinblur_tpu.models.resnet import CONV_PRECISION
         corr = jnp.matmul(onehot, delta.reshape(k, -1).astype(win_dtype),
+                          precision=CONV_PRECISION,
                           preferred_element_type=jnp.float32)
         # Residual: tier-2 member that still overflowed, or budget overflow.
         residual = (jnp.sum(sub_over & apply)

@@ -80,12 +80,8 @@ def test_pallas_budget_escape_hatch(rng):
     boxes[..., 3] = boxes[..., 1] + rng.uniform(4, 10, (B, R))
     boxes = jnp.asarray(boxes)
 
-    old_k = rap.TIER2_K
-    rap.TIER2_K = 2               # force n_over > budget
-    try:
-        with pltpu.force_tpu_interpret_mode():
-            ours = np.asarray(pallas_multiscale_roi_align(feats, boxes))
-    finally:
-        rap.TIER2_K = old_k
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(pallas_multiscale_roi_align(feats, boxes,
+                                                      tier2_k=2))
 
     np.testing.assert_allclose(ours, _expected(feats, boxes), atol=2e-5)
