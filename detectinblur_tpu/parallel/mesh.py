@@ -5,7 +5,7 @@ NCCL DDP (utils.py:763-785, SURVEY.md §2.6). TPU-native, that becomes SPMD
 under jit on a 1-D ``data`` mesh: parameters replicated, batch sharded,
 gradients reduced by the partitioner over ICI — DDP's machinery disappears
 but every capability (multi-chip training, rank-0 I/O, per-host seeding,
-cross-host eval merge) is reproduced here and in parallel/dist.py.
+cross-host eval merge) is reproduced here and in train/eval_loop.py (cross-host merge).
 """
 
 from __future__ import annotations
