@@ -90,12 +90,70 @@ def fft_blur(
     return out[..., c : c + h, c : c + w].astype(image.dtype)
 
 
+def _dft_mats(n: int, dtype):
+    k = jnp.arange(n, dtype=jnp.float32)
+    ang = 2.0 * jnp.pi * (k[:, None] * k[None, :]) / n
+    return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
+
+
+def dft_blur(image: jax.Array, psf: jax.Array) -> jax.Array:
+    """``fft_blur(exact=True)`` computed as MXU matmuls instead of FFT.
+
+    XLA:TPU's FFT is ~4x slower than the equivalent dense DFT on the MXU at
+    detector image sizes (~600x770 padded), so throughput mode evaluates the
+    circular convolution as Y = F_H x F_W (DFT matrices are symmetric; all
+    complex algebra is expanded into real matmuls with f32 accumulation).
+    bf16 operand rounding matches the reference's own fp16 blur transfer
+    (engine.py:79-98 moves images to the GPU as .half()).
+    """
+    k = psf.shape[-1]
+    h, w = image.shape[-2], image.shape[-1]
+    c = k // 2 - 1
+    pads = (c, k - c - 1)
+    mode = _pad_mode(k, h, w)
+    pad_width = [(0, 0)] * (image.ndim - 2) + [pads, pads]
+    padded = jnp.pad(image, pad_width, mode=mode)
+    hp, wp = padded.shape[-2], padded.shape[-1]
+
+    kern = jnp.zeros((hp, wp), jnp.float32).at[:k, :k].set(
+        psf.astype(jnp.float32))
+    kern = jnp.roll(kern, (-c, -c), axis=(0, 1))
+
+    dtype = jnp.bfloat16
+    ch, sh = _dft_mats(hp, dtype)
+    cw, sw = _dft_mats(wp, dtype)
+
+    def mm(a, b):
+        return jnp.matmul(a.astype(dtype), b.astype(dtype),
+                          preferred_element_type=jnp.float32)
+
+    def fwd(x):                       # real [., hp, wp] -> (Xr, Xi)
+        a = mm(ch, x)
+        b = mm(sh, x)
+        return mm(a, cw) - mm(b, sw), -(mm(a, sw) + mm(b, cw))
+
+    xr, xi = fwd(padded)
+    kr, ki = fwd(kern)
+    yr = xr * kr - xi * ki
+    yi = xr * ki + xi * kr
+    # Inverse: y = (1/HW) * Re[(C_H + iS_H) Y (C_W + iS_W)].
+    u = mm(ch, yr) - mm(sh, yi)
+    v = mm(ch, yi) + mm(sh, yr)
+    out = (mm(u, cw) - mm(v, sw)) / (hp * wp)
+    return out[..., c : c + h, c : c + w].astype(image.dtype)
+
+
 def apply_psf_blur(image: jax.Array, psf: jax.Array, normalize: bool = True,
                    exact: bool = False) -> jax.Array:
     """Blur one image [C, H, W] with a PSF, normalizing the PSF to unit sum
     first (as blur_image_list does, blur_functions.py:98)."""
     if normalize:
         psf = psf / jnp.maximum(jnp.sum(psf), 1e-20)
+    from detectinblur_tpu.models.resnet import CONV_PRECISION
+
+    if (not exact and CONV_PRECISION == jax.lax.Precision.DEFAULT
+            and jax.default_backend() in ("tpu", "axon")):
+        return dft_blur(image, psf)
     return fft_blur(image, psf, exact=exact)
 
 

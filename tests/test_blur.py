@@ -105,3 +105,23 @@ def test_apply_psf_blur_normalizes(rng):
     a = np.asarray(apply_psf_blur(jnp.asarray(img), jnp.asarray(psf), normalize=True, exact=True))
     b = np.asarray(fft_blur(jnp.asarray(img), jnp.asarray(psf / psf.sum()), exact=True))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_dft_blur_matches_fft(rng):
+    """The MXU DFT-matmul blur equals the exact FFT blur (f32 math on CPU;
+    on TPU throughput mode it runs in bf16, matching the reference's fp16
+    blur transfer)."""
+    import jax.numpy as jnp
+    from detectinblur_tpu.ops.blur import dft_blur, fft_blur
+
+    img = jnp.asarray(rng.random((3, 96, 128), dtype=np.float32))
+    psf = np.zeros((128, 128), np.float32)
+    psf[60:70, 58:72] = rng.random((10, 14))
+    psf /= psf.sum()
+    psf = jnp.asarray(psf)
+
+    a = np.asarray(dft_blur(img, psf))
+    b = np.asarray(fft_blur(img, psf, exact=True))
+    # bf16 operand rounding inside dft_blur bounds the difference.
+    np.testing.assert_allclose(a, b, atol=2e-2)
+    assert abs(a.mean() - b.mean()) < 1e-3
