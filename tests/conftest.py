@@ -63,7 +63,14 @@ if any(".axon_site" in p for p in sys.path) and "DIB_TPU_CLEAN" not in os.enviro
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# On few-core hosts the 8 virtual devices serialize; XLA:CPU's collective
+# rendezvous (default 20s warn / 40s TERMINATE-the-process) then
+# false-positives on the 8-device train-step program. Raise both.
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+os.environ["XLA_FLAGS"] = flags
 
 # Persistent compilation cache: XLA:CPU compiles some ops (scale_and_translate,
 # the detector graph) in tens of seconds on this 1-core box; cache across runs.
