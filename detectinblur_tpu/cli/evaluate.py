@@ -34,19 +34,68 @@ def load_params(model, path: str, frozen_bn=True, mode_one_n=0.0):
     --unfrozen_batch_norm (.pth only), BN stays a real layer and running
     stats come along with num_batches_tracked preset (evaluate.py:234-237
     sets 16)."""
+    from detectinblur_tpu.models.faster_rcnn import FasterRCNN
+
+    is_fpn = isinstance(model, FasterRCNN)
     if path.endswith(".pth"):
         sd = load_torch_state_dict(path)
-        params = convert_fasterrcnn_state_dict(sd, frozen_bn=frozen_bn)
-        stats = None
-        if not frozen_bn:
+        if is_fpn:
+            params = convert_fasterrcnn_state_dict(sd, frozen_bn=frozen_bn)
+            stats = None
+            if not frozen_bn:
+                from detectinblur_tpu.utils.torch_convert import (
+                    convert_fasterrcnn_bn_stats,
+                )
+
+                stats = convert_fasterrcnn_bn_stats(sd, num_batches=mode_one_n)
+            return params, stats
+        # Versatile single-map model: .pth holds an ImageNet classifier
+        # torso (versatile_backbone_models.py); heads stay random.
+        params = model.init(jax.random.key(0))
+        stats = model.init_stats() if model.has_bn else None
+        if model.cfg.backbone == "mobile_net":
             from detectinblur_tpu.utils.torch_convert import (
-                convert_fasterrcnn_bn_stats,
+                convert_mobilenet_v2_features,
+            )
+            from detectinblur_tpu.models.batchnorm import (
+                set_num_batches_tracked,
             )
 
-            stats = convert_fasterrcnn_bn_stats(sd, num_batches=mode_one_n)
+            torso, torso_stats = convert_mobilenet_v2_features(sd)
+            params["backbone"] = torso
+            if mode_one_n:
+                torso_stats = set_num_batches_tracked(torso_stats, mode_one_n)
+            stats = {"backbone": torso_stats}
+        else:
+            from detectinblur_tpu.utils.torch_convert import (
+                convert_resnet_trunk_state_dict,
+            )
+
+            torso, torso_stats = convert_resnet_trunk_state_dict(
+                sd, arch=model.cfg.backbone, frozen_bn=not model.has_bn,
+                num_batches=mode_one_n)
+            params["backbone"] = torso
+            if torso_stats is not None:
+                stats = {"backbone": torso_stats}
+        print("loaded ImageNet torso weights; detection heads are random")
         return params, stats
     template = model.init(jax.random.key(0))
-    return restore_weights(path, template), None
+    params = restore_weights(path, template)
+    stats = None
+    if model.has_bn:
+        # Our own checkpoints carry bn_stats (train/checkpoint.py); fall
+        # back to fresh stats for weight-only artifacts.
+        import orbax.checkpoint as ocp
+        import os
+
+        stats = model.init_stats()
+        try:
+            with ocp.StandardCheckpointer() as ckptr:
+                stats = ckptr.restore(
+                    os.path.abspath(path) + "/bn_stats", stats)
+        except Exception:
+            print("checkpoint has no bn_stats; using fresh running stats")
+    return params, stats
 
 
 def run_cell(args, model, params, dataset_val, policy, psf_bank,
@@ -135,9 +184,23 @@ def main(argv=None):
             estimator = ResNetClassifier("resnet18", n_classes, bn_mode="eval")
             from detectinblur_tpu.train.checkpoint import restore_weights
 
-            template = estimator.init(
+            init_vars = estimator.init(
                 jax.random.key(0), np.zeros((1, 224, 224, 3), np.float32))
-            est_vars = restore_weights(args.blur_estimator_path, template)
+            est_params = restore_weights(args.blur_estimator_path,
+                                         init_vars["params"])
+            est_stats = init_vars["batch_stats"]
+            try:
+                import os
+
+                import orbax.checkpoint as ocp
+
+                with ocp.StandardCheckpointer() as ckptr:
+                    est_stats = ckptr.restore(
+                        os.path.abspath(args.blur_estimator_path) + "/bn_stats",
+                        est_stats)
+            except Exception:
+                print("estimator checkpoint has no bn_stats; using fresh stats")
+            est_vars = {"params": est_params, "batch_stats": est_stats}
         ensemble = (stacked, estimator, est_vars, args.LEHE)
     elif args.resume:
         params, bn_stats = load_params(model, args.resume,
@@ -150,6 +213,7 @@ def main(argv=None):
     else:
         print("no checkpoint given; evaluating random weights")
         params = model.init(jax.random.key(0))
+        bn_stats = model.init_stats() if model.has_bn else None
 
     if args.blurred_dataset:
         # Natural-blur eval: the dataset is pre-blurred; one plain eval pass
@@ -171,7 +235,8 @@ def main(argv=None):
         def eval_step(p, batch):
             b = batch.images.shape[1:3]
             if b not in eval_steps:
-                eval_steps[b] = make_eval_step(model, model_bucket_for(b))
+                eval_steps[b] = make_eval_step(model, model_bucket_for(b),
+                                               bn_stats=bn_stats)
             return eval_steps[b](p, batch)
 
         from detectinblur_tpu.train.eval_loop import evaluate_coco

@@ -36,29 +36,68 @@ BLUR_STAT_TAGS = ["AveragePrecision", "AP50", "AP75", "APSmall", "APMedium",
                   "ARLarge"]
 
 
-def build_model(args, bn_mode=None) -> FasterRCNN:
-    if args.model != "fasterrcnn_resnet50_fpn":
-        raise NotImplementedError(
-            f"round-1 CLI supports fasterrcnn_resnet50_fpn; {args.model} "
-            "is available via models.backbones.SingleMapFasterRCNN")
-    cfg = FasterRCNNConfig(warp_internally=args.warp_in_model,
-                           bn_mode=bn_mode)
-    return FasterRCNN(cfg)
+def build_model(args, bn_mode=None):
+    """Reference model dispatch by substring, train.py:218-230: FPN
+    detector, or a versatile single-map mobile_net / resnet_50."""
+    if "fasterrcnn_resnet50_fpn" in args.model:
+        cfg = FasterRCNNConfig(warp_internally=args.warp_in_model,
+                               bn_mode=bn_mode)
+        return FasterRCNN(cfg)
+    from detectinblur_tpu.models.backbones import (
+        SingleMapConfig,
+        SingleMapFasterRCNN,
+    )
+
+    if "mobile_net" in args.model:
+        return SingleMapFasterRCNN(SingleMapConfig("mobile_net",
+                                                   bn_mode=bn_mode))
+    if "resnet_50" in args.model:
+        return SingleMapFasterRCNN(SingleMapConfig("resnet50",
+                                                   bn_mode=bn_mode))
+    raise ValueError(f"Unrecognized model type {args.model!r} "
+                     "(train.py:228-230 semantics)")
 
 
-def load_initial_params(args, model):
+def load_initial_params(args, model, bn_stats=None):
+    """(params, bn_stats). ``--pretrained`` / a ``.pth``
+    --start_from_weights loads torch weights: COCO detector weights for
+    the FPN model (faster_rcnn.py:360-372), ImageNet torso weights for
+    versatile models (versatile_backbone_models.py:31-96, heads stay
+    random)."""
     key = jax.random.key(1337)
     params = model.init(key)
     if args.pretrained or args.start_from_weights.endswith(".pth"):
-        path = args.start_from_weights or (
-            args.output_dir + "/fasterrcnn_resnet50_fpn_coco.pth")
+        is_fpn = isinstance(model, FasterRCNN)
+        default_pth = ("fasterrcnn_resnet50_fpn_coco.pth" if is_fpn
+                       else f"{model.cfg.backbone}_imagenet.pth")
+        path = args.start_from_weights or f"{args.output_dir}/{default_pth}"
         try:
             sd = load_torch_state_dict(path)
-            params = convert_fasterrcnn_state_dict(sd)
+            if is_fpn:
+                params = convert_fasterrcnn_state_dict(sd)
+            elif model.cfg.backbone == "mobile_net":
+                from detectinblur_tpu.utils.torch_convert import (
+                    convert_mobilenet_v2_features,
+                )
+
+                torso, torso_stats = convert_mobilenet_v2_features(sd)
+                params["backbone"] = torso
+                bn_stats = {"backbone": torso_stats}
+            else:
+                from detectinblur_tpu.utils.torch_convert import (
+                    convert_resnet_trunk_state_dict,
+                )
+
+                torso, torso_stats = convert_resnet_trunk_state_dict(
+                    sd, arch=model.cfg.backbone,
+                    frozen_bn=not model.has_bn)
+                params["backbone"] = torso
+                if torso_stats is not None:
+                    bn_stats = {"backbone": torso_stats}
             print(f"loaded torch weights from {path}")
         except FileNotFoundError:
             print(f"pretrained weights not found at {path}; training from scratch")
-    return params
+    return params, bn_stats
 
 
 def main(argv=None):
@@ -102,13 +141,8 @@ def main(argv=None):
 
     bn_mode = "train" if args.unfrozen_batch_norm else None
     model = build_model(args, bn_mode=bn_mode)
-    params = load_initial_params(args, model)
-    bn_stats = None
-    if bn_mode is not None:
-        # Fresh stats (or converted from .pth by load_initial_params later).
-        variables = model.backbone.init(
-            jax.random.key(0), np.zeros((1, 96, 96, 3), np.float32))
-        bn_stats = {"backbone": variables.get("batch_stats", {})}
+    bn_stats = model.init_stats() if model.has_bn else None
+    params, bn_stats = load_initial_params(args, model, bn_stats)
     tx, schedule = make_optimizer(
         base_lr=args.lr, steps_per_epoch=max(len(loader), 1),
         momentum=args.momentum, weight_decay=args.weight_decay,
@@ -119,7 +153,10 @@ def main(argv=None):
     state = create_train_state(params, tx)
     start_epoch = args.start_epoch
     if args.resume:
-        state = restore_checkpoint(args.resume, state)
+        if model.has_bn:
+            state, bn_stats = restore_checkpoint(args.resume, state, bn_stats)
+        else:
+            state = restore_checkpoint(args.resume, state)
         print(f"resumed from {args.resume}")
     elif args.start_from_weights and not args.start_from_weights.endswith(".pth"):
         state = state._replace(params=restore_weights(args.start_from_weights,
@@ -150,7 +187,7 @@ def main(argv=None):
                 loader, args.print_freq, f"Epoch: [{epoch}]"
             ):
                 key = jax.random.fold_in(jax.random.key(1337), global_iter)
-                if bn_mode is not None:
+                if model.has_bn:
                     state, bn_stats, metrics = step_for(bucket)(
                         state, bn_stats, batch, key)
                 else:
@@ -173,7 +210,8 @@ def main(argv=None):
 
             print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
             if args.output_dir:
-                save_checkpoint(args.output_dir, state, epoch, vars(args))
+                save_checkpoint(args.output_dir, state, epoch, vars(args),
+                                bn_stats=bn_stats)
 
             # Post-epoch eval: clean + blurred (train.py:346-387).
             from detectinblur_tpu.train.eval_loop import dataset_to_coco_index
@@ -199,6 +237,7 @@ def main(argv=None):
                             expand_target_boxes=args.expand_target_boxes and _blur,
                             use_warp=args.warp_in_model,
                             use_custom_norm=args.use_custom_image_norm,
+                            bn_stats=bn_stats,
                         )
                     return eval_steps[b](params, batch)
 

@@ -81,10 +81,33 @@ def main(argv=None):
     variables = classifier.init(jax.random.key(0),
                                 np.zeros((1, 224, 224, 3), np.float32))
     params, stats = variables["params"], variables["batch_stats"]
+    if args.pretrained or args.start_from_weights.endswith(".pth"):
+        # ImageNet-pretrained resnet18 torso, fresh fc
+        # (train_blur_estimator.py:212-217).
+        from detectinblur_tpu.utils.torch_convert import (
+            convert_resnet_classifier_state_dict,
+            load_torch_state_dict,
+        )
+
+        path = args.start_from_weights or f"{args.output_dir}/resnet18_imagenet.pth"
+        try:
+            sd = load_torch_state_dict(path)
+            conv_p, conv_s = convert_resnet_classifier_state_dict(sd)
+            params = {**params, **conv_p}
+            stats = conv_s
+            print(f"loaded ImageNet resnet18 torso from {path}")
+        except FileNotFoundError:
+            print(f"pretrained weights not found at {path}; "
+                  "training from scratch")
     schedule = make_lr_schedule(args.lr, max(len(loader), 1), milestones=(6, 8))
     tx = optax.chain(optax.add_decayed_weights(args.weight_decay),
                      optax.sgd(schedule, momentum=args.momentum))
     state = TrainState(np.int32(0), params, tx.init(params))
+    if args.resume:
+        from detectinblur_tpu.train.checkpoint import restore_checkpoint
+
+        state, stats = restore_checkpoint(args.resume, state, stats)
+        print(f"resumed from {args.resume}")
 
     steps = {}
     with mesh:
@@ -150,7 +173,8 @@ def main(argv=None):
         if args.output_dir and not args.test_only:
             from detectinblur_tpu.train.checkpoint import save_checkpoint
 
-            save_checkpoint(args.output_dir, state, args.epochs - 1, vars(args))
+            save_checkpoint(args.output_dir, state, args.epochs - 1,
+                            vars(args), bn_stats=stats)
     writer.close()
     return top1
 

@@ -29,10 +29,12 @@ class CocoDetection:
         ann_file: str | dict,
         train_filter: bool = False,
         with_masks: bool = False,
+        with_keypoints: bool = False,
     ):
         self.img_dir = img_dir
         self.index = COCOIndex(ann_file)
         self.with_masks = with_masks
+        self.with_keypoints = with_keypoints
         self.ids = self.index.get_img_ids()
         if train_filter:
             self.ids = [i for i in self.ids if self._has_valid_anns(i)]
@@ -89,6 +91,15 @@ class CocoDetection:
             out["masks"] = np.stack(
                 [rle_mod.masks_from_segmentation(a["segmentation"], h, w) for a in anns]
             ) if anns else np.zeros((0, h, w), np.uint8)
+        if self.with_keypoints:
+            # [N, K, 3] (x, y, visibility) — ConvertCocoPolysToMask keypoint
+            # path (coco_utils.py:75-95).
+            kps = [np.asarray(a.get("keypoints", []), np.float32).reshape(-1, 3)
+                   for a in anns]
+            K = max((k.shape[0] for k in kps), default=0)
+            kps = [np.pad(k, ((0, K - k.shape[0]), (0, 0))) for k in kps]
+            out["keypoints"] = (np.stack(kps) if anns and K else
+                                np.zeros((len(anns), K, 3), np.float32))
         return out
 
 
@@ -103,4 +114,19 @@ def get_coco(root: str, image_set: str = "train") -> CocoDetection:
         os.path.join(root, img_folder),
         os.path.join(root, ann_file),
         train_filter=(image_set == "train"),
+    )
+
+
+def get_coco_kp(root: str, image_set: str = "train") -> CocoDetection:
+    """Keypoint-annotation wiring (coco_utils.get_coco_kp, :274-275)."""
+    paths = {
+        "train": ("train2017", "annotations/person_keypoints_train2017.json"),
+        "val": ("val2017", "annotations/person_keypoints_val2017.json"),
+    }
+    img_folder, ann_file = paths[image_set]
+    return CocoDetection(
+        os.path.join(root, img_folder),
+        os.path.join(root, ann_file),
+        train_filter=(image_set == "train"),
+        with_keypoints=True,
     )

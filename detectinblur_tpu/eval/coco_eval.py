@@ -10,7 +10,9 @@ COCO evaluation protocol:
   * the standard 12 summary stats extended with the repo's 6 extra
     per-area AP/AR@.5 entries and AR@.5 (stats[12..18]).
 
-Supports iouType 'bbox' (detection path) and 'segm' via eval/rle.py.
+Supports iouType 'bbox' (detection path), 'segm' via eval/rle.py, and
+'keypoints' (OKS matching with the standard COCO sigmas, maxDets [20],
+10-stat summary — cocoeval.py computeOks semantics).
 """
 
 from __future__ import annotations
@@ -35,6 +37,14 @@ STAT_NAMES = [
     "AR1", "AR10", "AR100", "ARs", "ARm", "ARl",
     "AR50", "AP50s", "AP50m", "AP50l", "AR50s", "AR50m", "AR50l",
 ]
+
+# COCO person-keypoint OKS sigmas (pycocotools cocoeval.py Params.setKpParams).
+KPT_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+     1.07, 1.07, .87, .87, .89, .89]) / 10.0
+
+KPT_STAT_NAMES = ["AP", "AP50", "AP75", "APm", "APl",
+                  "AR", "AR50", "AR75", "ARm", "ARl"]
 
 
 def bbox_iou_crowd(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
@@ -75,13 +85,23 @@ class COCOEval:
         self.cat_ids: List[int] = coco_gt.get_cat_ids() or [-1]
         self.iou_thrs = np.linspace(0.5, 0.95, 10)
         self.rec_thrs = np.linspace(0.0, 1.0, 101)
-        self.max_dets = [1, 10, 100]
+        self.max_dets = [20] if iou_type == "keypoints" else [1, 10, 100]
+        self.kpt_sigmas = KPT_SIGMAS
         self.eval_imgs: Dict = {}
         self.eval: Optional[dict] = None
         self.stats: Optional[np.ndarray] = None
         self._gts = defaultdict(list)
         self._dts = defaultdict(list)
         for a in coco_gt.dataset.get("annotations", []):
+            if iou_type == "keypoints":
+                # cocoeval._prepare: gts without labeled keypoints are
+                # ignored (copied so the caller's index stays untouched).
+                a = dict(a)
+                nk = a.get("num_keypoints")
+                if nk is None and "keypoints" in a:
+                    nk = int(np.count_nonzero(
+                        np.asarray(a["keypoints"])[2::3] > 0))
+                a["ignore"] = a.get("ignore", 0) or (nk == 0)
             self._gts[(a["image_id"], a["category_id"])].append(a)
         for a in coco_dt.dataset.get("annotations", []):
             self._dts[(a["image_id"], a["category_id"])].append(a)
@@ -105,7 +125,39 @@ class COCOEval:
             d = [dt["segmentation"] for dt in dts]
             g = [gt["segmentation"] for gt in gts]
             return rle_mod.iou_matrix(d, g, iscrowd)
+        elif self.iou_type == "keypoints":
+            return self._compute_oks(dts, gts)
         raise ValueError(self.iou_type)
+
+    def _compute_oks(self, dts, gts):
+        """Object keypoint similarity matrix (cocoeval.py computeOks):
+        per visible keypoint, a Gaussian of the position error scaled by
+        the per-keypoint sigma and the gt area; invisible-gt objects fall
+        back to a distance-outside-the-expanded-gt-box penalty."""
+        var = (2.0 * self.kpt_sigmas) ** 2
+        k = len(self.kpt_sigmas)
+        ious = np.zeros((len(dts), len(gts)))
+        for j, gt in enumerate(gts):
+            g = np.asarray(gt["keypoints"], np.float64)
+            xg, yg, vg = g[0::3], g[1::3], g[2::3]
+            k1 = int(np.count_nonzero(vg > 0))
+            bb = gt["bbox"]
+            x0, x1 = bb[0] - bb[2], bb[0] + bb[2] * 2
+            y0, y1 = bb[1] - bb[3], bb[1] + bb[3] * 2
+            for i, dt in enumerate(dts):
+                d = np.asarray(dt["keypoints"], np.float64)
+                xd, yd = d[0::3], d[1::3]
+                if k1 > 0:
+                    dx, dy = xd - xg, yd - yg
+                else:
+                    z = np.zeros(k)
+                    dx = np.maximum(z, x0 - xd) + np.maximum(z, xd - x1)
+                    dy = np.maximum(z, y0 - yd) + np.maximum(z, yd - y1)
+                e = (dx**2 + dy**2) / var / (gt["area"] + np.spacing(1)) / 2
+                if k1 > 0:
+                    e = e[vg > 0]
+                ious[i, j] = np.sum(np.exp(-e)) / e.shape[0]
+        return ious
 
     def evaluate_img(self, img_id, cat_id, area_rng, ious):
         """Greedy per-image matching (COCOeval.evaluateImg semantics)."""
@@ -278,9 +330,25 @@ class COCOEval:
 
     def summarize(self) -> np.ndarray:
         """The repo's extended 19-stat summary (coco_eval.py:506-528):
-        standard 12 stats + AR@.5 + per-area AP@.5 and AR@.5."""
+        standard 12 stats + AR@.5 + per-area AP@.5 and AR@.5. Keypoints
+        use the standard 10-stat OKS layout (maxDets 20, no 'small')."""
         s = self._summary
         md = self.max_dets
+        if self.iou_type == "keypoints":
+            m = md[-1]
+            self.stats = np.array([
+                s(True, max_dets=m),
+                s(True, 0.5, max_dets=m),
+                s(True, 0.75, max_dets=m),
+                s(True, area="medium", max_dets=m),
+                s(True, area="large", max_dets=m),
+                s(False, max_dets=m),
+                s(False, 0.5, max_dets=m),
+                s(False, 0.75, max_dets=m),
+                s(False, area="medium", max_dets=m),
+                s(False, area="large", max_dets=m),
+            ])
+            return self.stats
         self.stats = np.array(
             [
                 s(True),

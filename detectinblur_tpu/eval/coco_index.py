@@ -73,6 +73,16 @@ class COCOIndex:
                 from detectinblur_tpu.eval import rle as rle_mod
 
                 a["area"] = float(rle_mod.area(a["segmentation"]))
+            if "keypoints" in a and "bbox" not in a:
+                # pycocotools loadRes keypoint branch: tight keypoint bbox.
+                import numpy as np
+
+                kp = np.asarray(a["keypoints"], np.float64)
+                xs, ys = kp[0::3], kp[1::3]
+                x0, x1 = float(xs.min()), float(xs.max())
+                y0, y1 = float(ys.min()), float(ys.max())
+                a["area"] = (x1 - x0) * (y1 - y0)
+                a["bbox"] = [x0, y0, x1 - x0, y1 - y0]
             a.setdefault("iscrowd", 0)
             a["id"] = idx + 1
         res.dataset["annotations"] = anns

@@ -91,6 +91,21 @@ class FasterRCNN:
         self.box_head = TwoMLPHead()
         self.box_predictor = FastRCNNPredictor(config.num_classes)
 
+    @property
+    def has_bn(self) -> bool:
+        """True when the backbone carries a batch_stats tree that must be
+        threaded through predict/loss (bn_mode remedies)."""
+        return self.cfg.bn_mode is not None
+
+    def init_stats(self, bucket: Tuple[int, int] = (96, 96)):
+        """Fresh batch_stats tree for bn_mode models (None otherwise)."""
+        if not self.has_bn:
+            return None
+        variables = self.backbone.init(
+            jax.random.key(0),
+            jnp.zeros((1, bucket[0], bucket[1], 3), jnp.float32))
+        return {"backbone": variables.get("batch_stats", {})}
+
     # ---------------------------------------------------------------- init
     def init(self, key: jax.Array, bucket: Tuple[int, int] = (832, 832)):
         kb, kr, kh, kp = jax.random.split(key, 4)

@@ -79,18 +79,11 @@ def _level_geometry(boxes, levels, level_sizes, level_scales, output_size,
     return ypar, xpar, Hl, Wl
 
 
-def _roi_align_quad(
-    features: Sequence[jax.Array],   # L arrays [H_l, W_l, C]
-    levels: jax.Array,               # [R] int32 level index per roi
-    level_scales: jax.Array,         # [L]
-    boxes: jax.Array,                # [R, 4] xyxy in input coordinates
-    output_size: int,
-    sampling_ratio: int,
-) -> jax.Array:
-    """Corner-quad-buffer RoIAlign (see module docstring)."""
-    R = boxes.shape[0]
-    s = output_size
-    g = sampling_ratio
+def _build_quad(features: Sequence[jax.Array]):
+    """Corner-quad buffer: the flattened pyramid channel-concatenated with
+    itself shifted by one column / one row / one row+column, so the 4
+    bilinear corners of a sample come back in ONE wide row take. Returns
+    (quad [sum(H_l*W_l)+1, 4C], level_offsets [L], level_sizes [L, 2])."""
     C = features[0].shape[-1]
 
     from detectinblur_tpu.models.resnet import CONV_PRECISION
@@ -119,6 +112,16 @@ def _roi_align_quad(
     level_offsets = jnp.array(offs, jnp.int32)
     level_sizes = jnp.array([[f.shape[0], f.shape[1]] for f in features],
                             jnp.int32)
+    return quad, level_offsets, level_sizes
+
+
+def _quad_sample(quad, levels, level_offsets, level_sizes, level_scales,
+                 boxes, output_size, sampling_ratio, out_dtype):
+    """Sample rois out of a prebuilt corner-quad buffer."""
+    R = boxes.shape[0]
+    s = output_size
+    g = sampling_ratio
+    C = quad.shape[-1] // 4
 
     (y_lo, _, wy_lo, wy_hi, y_ok), (x_lo, _, wx_lo, wx_hi, x_ok), Hl, Wl = (
         _level_geometry(boxes, levels, level_sizes, level_scales,
@@ -150,7 +153,22 @@ def _roi_align_quad(
     val = (rows[:, :C] * w00 + rows[:, C:2 * C] * w01
            + rows[:, 2 * C:3 * C] * w10 + rows[:, 3 * C:] * w11)
     val = val.reshape(R, s, s, g * g, C).mean(axis=3)   # [R, s, s, C]
-    return val.astype(features[0].dtype)
+    return val.astype(out_dtype)
+
+
+def _roi_align_quad(
+    features: Sequence[jax.Array],   # L arrays [H_l, W_l, C]
+    levels: jax.Array,               # [R] int32 level index per roi
+    level_scales: jax.Array,         # [L]
+    boxes: jax.Array,                # [R, 4] xyxy in input coordinates
+    output_size: int,
+    sampling_ratio: int,
+) -> jax.Array:
+    """Corner-quad-buffer RoIAlign (see module docstring)."""
+    quad, level_offsets, level_sizes = _build_quad(features)
+    return _quad_sample(quad, levels, level_offsets, level_sizes,
+                        level_scales, boxes, output_size, sampling_ratio,
+                        features[0].dtype)
 
 
 def roi_align_single_level(
@@ -160,20 +178,35 @@ def roi_align_single_level(
     output_size: int = 7,
     sampling_ratio: int = 2,
 ) -> jax.Array:
-    """RoIAlign of [H, W, C] features for [R, 4] xyxy boxes -> [R, s, s, C]."""
+    """RoIAlign of [H, W, C] features for [R, 4] xyxy boxes -> [R, s, s, C].
+
+    Uses the corner-quad formulation with the rois processed in chunks via
+    ``lax.map``: the take's [chunk*s*s*g*g, 4C] temp is what bounds memory,
+    and wide single-level torsos (mobilenet C=1280) with 1000 proposals
+    would otherwise materialize a multi-GB buffer (observed OOM on v5e).
+    Total gather work is unchanged — chunks just serialize."""
     H, W, C = feature.shape
-    feats = feature.reshape(-1, C)
-    sizes = jnp.array([[H, W]], jnp.int32)
-    return _roi_align_flat(
-        feats,
-        jnp.zeros((boxes.shape[0],), jnp.int32),
-        jnp.array([0], jnp.int32),
-        sizes,
-        jnp.array([spatial_scale], jnp.float32),
-        boxes,
-        output_size,
-        sampling_ratio,
-    )
+    R = boxes.shape[0]
+    s, g = output_size, sampling_ratio
+    quad, level_offsets, level_sizes = _build_quad([feature])
+    scales = jnp.array([spatial_scale], jnp.float32)
+
+    # ~64 MB f32 sample-row budget per chunk.
+    chunk = max(8, min(R, int(64e6 / (s * s * g * g * 16 * C))))
+    n_chunks = -(-R // chunk)
+    pad = n_chunks * chunk - R
+    boxes_p = jnp.concatenate(
+        [boxes, jnp.zeros((pad, 4), boxes.dtype)]) if pad else boxes
+
+    def sample_chunk(bx):
+        return _quad_sample(quad, jnp.zeros((chunk,), jnp.int32),
+                            level_offsets, level_sizes, scales, bx,
+                            output_size, sampling_ratio, feature.dtype)
+
+    if n_chunks == 1:
+        return sample_chunk(boxes_p)[:R]
+    out = jax.lax.map(sample_chunk, boxes_p.reshape(n_chunks, chunk, 4))
+    return out.reshape(n_chunks * chunk, s, s, C)[:R]
 
 
 def _roi_align_flat(

@@ -20,29 +20,43 @@ from detectinblur_tpu.train.state import TrainState
 
 
 def save_checkpoint(output_dir: str, state: TrainState, epoch: int,
-                    args: Optional[dict] = None) -> str:
+                    args: Optional[dict] = None, bn_stats=None) -> str:
     path = os.path.join(os.path.abspath(output_dir), f"model_{epoch}")
     if is_main_process():
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        if bn_stats is not None:
+            # Live-BN models (--unfrozen_batch_norm / mobile_net torsos):
+            # running stats are model state and must survive resume.
+            payload["bn_stats"] = bn_stats
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, {
-                "params": state.params,
-                "opt_state": state.opt_state,
-                "step": state.step,
-            })
+            ckptr.save(path, payload)
         if args is not None:
             with open(os.path.join(output_dir, f"args_{epoch}.json"), "w") as f:
                 json.dump(args, f, indent=2, default=str)
     return path
 
 
-def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+def restore_checkpoint(path: str, template: TrainState, bn_stats_template=None):
+    """Restore {params, opt_state, step} (+ bn_stats when a template for it
+    is given — then returns (state, bn_stats))."""
+    items = {
+        "params": template.params,
+        "opt_state": template.opt_state,
+        "step": template.step,
+    }
+    if bn_stats_template is not None:
+        items["bn_stats"] = bn_stats_template
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path), {
-            "params": template.params,
-            "opt_state": template.opt_state,
-            "step": template.step,
-        })
-    return TrainState(restored["step"], restored["params"], restored["opt_state"])
+        restored = ckptr.restore(os.path.abspath(path), items)
+    state = TrainState(restored["step"], restored["params"],
+                       restored["opt_state"])
+    if bn_stats_template is not None:
+        return state, restored["bn_stats"]
+    return state
 
 
 def restore_weights(path: str, params_template) -> Any:

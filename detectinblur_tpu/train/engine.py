@@ -111,7 +111,7 @@ def make_train_step(
     --unfrozen_batch_norm) the signature becomes
     (state, bn_stats, batch, key) -> (state, bn_stats, metrics).
     """
-    with_bn = model.cfg.bn_mode is not None
+    with_bn = getattr(model, "has_bn", model.cfg.bn_mode is not None)
 
     def step(state: TrainState, bn_stats, batch: BlurBatch, key: jax.Array):
         key, bkey = jax.random.split(key)

@@ -193,6 +193,130 @@ def convert_fasterrcnn_bn_stats(
                         {"backbone": {"body": body}})
 
 
+def convert_mobilenet_v2_features(sd: Mapping[str, np.ndarray]):
+    """torchvision mobilenet_v2 ImageNet state dict -> (params, batch_stats)
+    for models.backbones.MobileNetV2Features (the versatile mobile_net torso,
+    versatile_backbone_models.py:31-36 uses ``mobilenet_v2(pretrained).features``).
+
+    Keys are the classifier's: features.0 stem ConvBNReLU, features.1..17
+    InvertedResiduals (block 1 has no expand conv), features.18 head
+    ConvBNReLU. BN stays real (AdaptiveBatchNorm), so running stats come
+    along in a parallel tree.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    def conv_bn(dst, conv_key, bn_key):
+        params[f"{dst}_conv"] = {"kernel": _conv_kernel(sd[conv_key])}
+        params[f"{dst}_bn"] = _bn_params(sd, bn_key)
+        stats[f"{dst}_bn"] = _bn_stats(sd, bn_key)
+
+    conv_bn("stem", "features.0.0.weight", "features.0.1")
+    for i in range(1, 18):
+        blk_p: Dict = {}
+        blk_s: Dict = {}
+
+        def blk_conv_bn(dst, conv_key, bn_key):
+            blk_p[f"{dst}_conv"] = {"kernel": _conv_kernel(sd[conv_key])}
+            blk_p[f"{dst}_bn"] = _bn_params(sd, bn_key)
+            blk_s[f"{dst}_bn"] = _bn_stats(sd, bn_key)
+
+        p = f"features.{i}.conv"
+        if f"{p}.1.0.weight" in sd:       # expand -> depthwise -> project
+            blk_conv_bn("expand", f"{p}.0.0.weight", f"{p}.0.1")
+            blk_conv_bn("depthwise", f"{p}.1.0.weight", f"{p}.1.1")
+            blk_conv_bn("project", f"{p}.2.weight", f"{p}.3")
+        else:                             # block 1: depthwise -> project
+            blk_conv_bn("depthwise", f"{p}.0.0.weight", f"{p}.0.1")
+            blk_conv_bn("project", f"{p}.1.weight", f"{p}.2")
+        params[f"block{i}"] = blk_p
+        stats[f"block{i}"] = blk_s
+    conv_bn("head", "features.18.0.weight", "features.18.1")
+
+    import jax
+    import jax.numpy as jnp
+
+    return (jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params),
+            jax.tree.map(jnp.asarray, stats))
+
+
+def convert_resnet_trunk_state_dict(
+    sd: Mapping[str, np.ndarray],
+    arch: str = "resnet50",
+    bn_eps: float = 0.0,
+    frozen_bn: bool = True,
+    num_batches: float = 0.0,
+):
+    """torchvision resnet classifier ImageNet state dict (keys conv1 / bn1 /
+    layer{1-4}...) -> (params, batch_stats_or_None) for models.resnet.ResNet
+    used as a single-map torso (versatile_backbone_models.py resnet_50).
+
+    ``frozen_bn`` folds BN into affine pairs (stats None); otherwise real
+    (scale, bias) params + running stats for AdaptiveBatchNorm torsos."""
+    from detectinblur_tpu.models.resnet import RESNET_SPECS
+
+    bn = (lambda p: _fold_frozen_bn(sd, p, bn_eps)) if frozen_bn else (
+        lambda p: _bn_params(sd, p))
+
+    _, layers, _ = RESNET_SPECS[arch]
+    body: Dict = {"conv1": {"kernel": _conv_kernel(sd["conv1.weight"])},
+                  "bn1": bn("bn1")}
+    stats: Dict = {} if not frozen_bn else None
+    if not frozen_bn:
+        stats["bn1"] = _bn_stats(sd, "bn1", num_batches)
+    for li, n_blocks in enumerate(layers, start=1):
+        for b in range(n_blocks):
+            p = f"layer{li}.{b}"
+            blk: Dict = {}
+            blk_s: Dict = {}
+            convs = 3 if f"{p}.conv3.weight" in sd else 2
+            for c in range(1, convs + 1):
+                blk[f"conv{c}"] = {"kernel": _conv_kernel(sd[f"{p}.conv{c}.weight"])}
+                blk[f"bn{c}"] = bn(f"{p}.bn{c}")
+                if not frozen_bn:
+                    blk_s[f"bn{c}"] = _bn_stats(sd, f"{p}.bn{c}", num_batches)
+            if f"{p}.downsample.0.weight" in sd:
+                blk["downsample_0"] = {
+                    "kernel": _conv_kernel(sd[f"{p}.downsample.0.weight"])}
+                blk["downsample_1"] = bn(f"{p}.downsample.1")
+                if not frozen_bn:
+                    blk_s["downsample_1"] = _bn_stats(
+                        sd, f"{p}.downsample.1", num_batches)
+            body[f"layer{li}_{b}"] = blk
+            if not frozen_bn:
+                stats[f"layer{li}_{b}"] = blk_s
+
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), body)
+    if not frozen_bn:
+        stats = jax.tree.map(jnp.asarray, stats)
+    return params, stats
+
+
+def convert_resnet_classifier_state_dict(
+    sd: Mapping[str, np.ndarray],
+    arch: str = "resnet18",
+    num_batches: float = 0.0,
+    include_fc: bool = False,
+):
+    """torchvision resnet classifier -> (params, batch_stats) for
+    models.classifier.ResNetClassifier (the blur estimator starts from
+    ImageNet-pretrained resnet18, train_blur_estimator.py:212-217; its fc
+    is replaced by a fresh 16/4-way head, so ``include_fc`` defaults off)."""
+    trunk, stats = convert_resnet_trunk_state_dict(
+        sd, arch=arch, frozen_bn=False, num_batches=num_batches)
+    params: Dict = {"body": trunk}
+    if include_fc and "fc.weight" in sd:
+        import jax.numpy as jnp
+
+        params["fc"] = {"kernel": jnp.asarray(np.transpose(sd["fc.weight"]),
+                                              jnp.float32),
+                        "bias": jnp.asarray(sd["fc.bias"], jnp.float32)}
+    return params, {"body": stats}
+
+
 def assert_tree_shapes_match(converted, initialized) -> None:
     """Raise if the converted tree doesn't structurally match init()'s."""
     import jax

@@ -146,6 +146,74 @@ def test_perfect_detections_give_ap1(rng):
     assert stats[8] > 0.99  # AR100 ~ 1.0
 
 
+def synthetic_kpt_dataset(rng, n_imgs=4, n_gt=20, n_dt=40):
+    """Person-keypoint style dataset: 17 keypoints per annotation."""
+    images = [{"id": i + 1, "height": 200, "width": 200} for i in range(n_imgs)]
+    cats = [{"id": 1, "name": "person"}]
+    anns = []
+    for aid in range(1, n_gt + 1):
+        x, y = rng.uniform(10, 120, 2)
+        w, h = rng.uniform(20, 70, 2)
+        kx = rng.uniform(x, x + w, 17)
+        ky = rng.uniform(y, y + h, 17)
+        kv = rng.integers(0, 3, 17)
+        kps = np.stack([kx, ky, kv], 1).reshape(-1)
+        anns.append({
+            "id": aid,
+            "image_id": int(rng.integers(1, n_imgs + 1)),
+            "category_id": 1,
+            "bbox": [float(x), float(y), float(w), float(h)],
+            "area": float(w * h),
+            "iscrowd": 0,
+            "keypoints": [float(v) for v in kps],
+            "num_keypoints": int((kv > 0).sum()),
+        })
+    gt = COCOIndex({"images": images, "categories": cats, "annotations": anns})
+    results = []
+    for _ in range(n_dt):
+        base = anns[int(rng.integers(0, len(anns)))]
+        kp = np.asarray(base["keypoints"], np.float64).copy()
+        kp[0::3] += rng.normal(0, 6, 17)
+        kp[1::3] += rng.normal(0, 6, 17)
+        results.append({
+            "image_id": base["image_id"] if rng.random() < 0.8
+            else int(rng.integers(1, n_imgs + 1)),
+            "category_id": 1,
+            "keypoints": [float(v) for v in kp],
+            "score": float(rng.random()),
+        })
+    return gt, results
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE_PATH), reason="reference oracle absent")
+def test_keypoints_oks_matches_pycocotools(rng):
+    gt, results = synthetic_kpt_dataset(rng)
+    dt = gt.load_res(results)
+
+    ours = COCOEval(gt, dt, "keypoints")
+    ours.evaluate()
+    ours.accumulate()
+    stats = ours.summarize()
+
+    oracle_mod = load_oracle_cocoeval()
+    oc = oracle_mod.COCOeval(FakeCOCO(gt), FakeCOCO(dt), "keypoints")
+    oc.evaluate()
+    oc.accumulate()
+    oc.summarize()
+
+    # OKS matrices agree per (img, cat).
+    for img_id in gt.get_img_ids():
+        np.testing.assert_allclose(
+            ours._compute_iou(img_id, 1), oc.ious[(img_id, 1)], atol=1e-10)
+    # Oracle area buckets: all/medium/large (no 'small'); ours carries the
+    # 4-bucket layout, so compare the shared buckets by label.
+    for our_a, oc_a in ((0, 0), (2, 1), (3, 2)):
+        np.testing.assert_allclose(
+            ours.eval["precision"][:, :, :, our_a, -1],
+            oc.eval["precision"][:, :, :, oc_a, -1], atol=1e-10)
+    np.testing.assert_allclose(stats, oc.stats, atol=1e-10)
+
+
 def test_rle_roundtrip(rng):
     m = (rng.random((23, 31)) > 0.6).astype(np.uint8)
     r = rle.encode(m)
