@@ -86,6 +86,38 @@ def test_empty_gt_image(tiny_model, rng):
         assert np.isfinite(float(v)), k
 
 
+def test_balanced_sample_counts(rng):
+    """torchvision BalancedPositiveNegativeSampler semantics: exactly
+    min(#pos, 128) positives and min(#neg, 256 - #sampled_pos) negatives,
+    uniformly at random, masks disjoint and within their pools."""
+    from detectinblur_tpu.models.rpn import balanced_sample
+
+    labels = jnp.asarray(rng.choice([-1, 0, 1], size=5000,
+                                    p=[0.2, 0.75, 0.05]).astype(np.int32))
+    sel_pos, sel_neg = jax.jit(
+        lambda k, l: balanced_sample(k, l, 256, 0.5)
+    )(jax.random.key(0), labels)
+    sp, sn, lab = map(np.asarray, (sel_pos, sel_neg, labels))
+    n_pos = min((lab == 1).sum(), 128)
+    assert sp.sum() == n_pos
+    assert sn.sum() == min((lab == 0).sum(), 256 - n_pos)
+    assert not (sp & sn).any()
+    assert (lab[sp] == 1).all() and (lab[sn] == 0).all()
+
+    # Few positives: all of them taken, negatives fill the budget.
+    labels2 = jnp.asarray(np.r_[np.ones(3), np.zeros(4000),
+                                -np.ones(997)].astype(np.int32))
+    sel_pos, sel_neg = jax.jit(
+        lambda k, l: balanced_sample(k, l, 256, 0.5)
+    )(jax.random.key(1), labels2)
+    assert int(sel_pos.sum()) == 3 and int(sel_neg.sum()) == 253
+
+    # No positives at all.
+    labels3 = jnp.zeros(1000, jnp.int32)
+    sel_pos, sel_neg = balanced_sample(jax.random.key(2), labels3, 256, 0.5)
+    assert int(sel_pos.sum()) == 0 and int(sel_neg.sum()) == 256
+
+
 def test_dryrun_multichip_8():
     import __graft_entry__
 
