@@ -262,7 +262,13 @@ def main(argv=None):
 
         # Blur sweep: skip param 0 and fraction 0 as legacy
         # (evaluate.py:302-310).
-        bank = generate_psf_bank(jax.random.key(7), bank_size=256)
+        if args.use_stored_psfs and args.stored_psf_directory:
+            from detectinblur_tpu.data.blur_sampling import load_psf_bank
+
+            bank = load_psf_bank(args.stored_psf_directory)
+        else:
+            bank = generate_psf_bank(jax.random.key(7), bank_size=256,
+                                     center=not args.dont_center_psf)
         all_stats = {}
         for pi, param in enumerate(EVAL_PARAMS[1:], start=1):
             if args.param_index is not None and pi != args.param_index:

@@ -107,8 +107,14 @@ def main(argv=None):
     mesh = make_mesh()
     writer = ScalarWriter(args.tensorboard_path)
 
-    dataset = get_coco(args.data_path, "train")
-    dataset_val = get_coco(args.data_path, "val")
+    if args.dataset == "coco_kp":
+        from detectinblur_tpu.data.coco import get_coco_kp
+
+        dataset = get_coco_kp(args.data_path, "train")
+        dataset_val = get_coco_kp(args.data_path, "val")
+    else:
+        dataset = get_coco(args.data_path, "train")
+        dataset_val = get_coco(args.data_path, "val")
 
     policy = BlurPolicy.training_default(
         low=args.low_exposure, high=args.high_exposure
@@ -124,9 +130,17 @@ def main(argv=None):
 
     psf_bank = None
     if args.blur_train:
-        bank_size = 12000 if args.use_stored_psfs else 512
-        print(f"generating device PSF bank ({bank_size}/bin)...")
-        psf_bank = generate_psf_bank(jax.random.key(7), bank_size=min(bank_size, 2048))
+        if args.use_stored_psfs and args.stored_psf_directory:
+            from detectinblur_tpu.data.blur_sampling import load_psf_bank
+
+            print(f"loading stored PSF bank from {args.stored_psf_directory}...")
+            psf_bank = load_psf_bank(args.stored_psf_directory)
+        else:
+            bank_size = 12000 if args.use_stored_psfs else 512
+            print(f"generating device PSF bank ({bank_size}/bin)...")
+            psf_bank = generate_psf_bank(jax.random.key(7),
+                                         bank_size=min(bank_size, 2048),
+                                         center=not args.dont_center_psf)
 
     augmix_cfg = None
     if args.non_pos_aug_mix or args.include_pos_aug_mix:
@@ -177,8 +191,45 @@ def main(argv=None):
             )
         return steps[bucket]
 
+    def run_eval(epoch):
+        """Clean + blurred post-epoch eval (train.py:346-387)."""
+        coco_gt = dataset_val.index
+        for tag, blur in (("Normal", False), ("Blurred", True)):
+            if blur and not args.blur_train:
+                continue
+            val_loader = DetectionLoader(
+                dataset_val, 1,
+                policy if blur else BlurPolicy(prob=0.0),
+                psf_bank if blur else None,
+                shuffle=False, num_processes=jax.process_count(),
+                process_index=jax.process_index(), drop_last=False,
+            )
+            eval_steps = {}
+
+            def eval_step(params, batch, _blur=blur):
+                b = batch.images.shape[1:3]
+                if b not in eval_steps:
+                    eval_steps[b] = make_eval_step(
+                        model, model_bucket_for(b), blur_eval=_blur,
+                        expand_target_boxes=args.expand_target_boxes and _blur,
+                        use_warp=args.warp_in_model,
+                        use_custom_norm=args.use_custom_image_norm,
+                        bn_stats=bn_stats,
+                    )
+                return eval_steps[b](params, batch)
+
+            stats = evaluate_coco(
+                eval_step, state.params, val_loader, coco_gt,
+                expand_target_boxes=args.expand_target_boxes and blur,
+                early_stop=args.early_stop,
+            )
+            for name, value in zip(BLUR_STAT_TAGS, stats[:12]):
+                writer.add_scalar(f"{tag}/{name}", float(value), epoch)
+
     global_iter = 0
     with mesh:
+        if args.eval_first:
+            run_eval(start_epoch - 1)
         for epoch in range(start_epoch, args.epochs):
             loader.set_epoch(epoch)
             logger = MetricLogger()
@@ -212,43 +263,7 @@ def main(argv=None):
             if args.output_dir:
                 save_checkpoint(args.output_dir, state, epoch, vars(args),
                                 bn_stats=bn_stats)
-
-            # Post-epoch eval: clean + blurred (train.py:346-387).
-            from detectinblur_tpu.train.eval_loop import dataset_to_coco_index
-
-            coco_gt = dataset_val.index
-            for tag, blur in (("Normal", False), ("Blurred", True)):
-                if blur and not args.blur_train:
-                    continue
-                val_loader = DetectionLoader(
-                    dataset_val, 1,
-                    policy if blur else BlurPolicy(prob=0.0),
-                    psf_bank if blur else None,
-                    shuffle=False, num_processes=jax.process_count(),
-                    process_index=jax.process_index(), drop_last=False,
-                )
-                eval_steps = {}
-
-                def eval_step(params, batch, _blur=blur):
-                    b = batch.images.shape[1:3]
-                    if b not in eval_steps:
-                        eval_steps[b] = make_eval_step(
-                            model, model_bucket_for(b), blur_eval=_blur,
-                            expand_target_boxes=args.expand_target_boxes and _blur,
-                            use_warp=args.warp_in_model,
-                            use_custom_norm=args.use_custom_image_norm,
-                            bn_stats=bn_stats,
-                        )
-                    return eval_steps[b](params, batch)
-
-                stats = evaluate_coco(
-                    eval_step, state.params, val_loader, coco_gt,
-                    expand_target_boxes=args.expand_target_boxes and blur,
-                    early_stop=args.early_stop,
-                )
-                for name, value in zip(BLUR_STAT_TAGS, stats[:12]):
-                    writer.add_scalar(f"{tag}/{name}", float(value), epoch)
-
+            run_eval(epoch)
             if args.early_stop is not None:
                 break
     writer.close()

@@ -89,12 +89,14 @@ def generate_psf_bank(
     fractions: Tuple[float, ...] = BLUR_FRACTIONS,
     iters: int = 2000,
     batch: int = 64,
+    center: bool = True,
 ):
     """On-device PSF bank: [P, F, bank_size, 128, 128] float32.
 
     One vmapped sweep replaces generate_PSFs.py's 12-process CPU grind; at
     bank_size=12000 this reproduces the reference's stored-PSF setup, and a
     fresh bank per epoch reproduces on-the-fly generation distributionally.
+    ``center=False`` keeps PSFs uncentered (--dont_center_psf).
     """
     import jax
     import jax.numpy as jnp
@@ -103,7 +105,8 @@ def generate_psf_bank(
 
     out = np.empty((len(params), len(fractions), bank_size, 128, 128), np.float32)
     gen = jax.jit(
-        jax.vmap(lambda k, p, f: sample_psf(k, expl=p, fraction=f, iters=iters)),
+        jax.vmap(lambda k, p, f: sample_psf(k, expl=p, fraction=f, iters=iters,
+                                            center=center)),
         static_argnames=(),
     )
     keys = jax.random.split(key, len(params) * len(fractions) * bank_size)
@@ -116,4 +119,35 @@ def generate_psf_bank(
                 idx += n
                 chunk = gen(kb, jnp.full((n,), p), jnp.full((n,), f))
                 out[pi, fi, start : start + n] = np.asarray(chunk)
+    return out
+
+
+def load_psf_bank(
+    directory: str,
+    bank_size: int = 12000,
+    n_params: int = 3,
+    n_fractions: int = 5,
+) -> np.ndarray:
+    """Load a stored PSF bank from the reference's on-disk layout
+    (--use_stored_psfs --stored_psf_directory): ``P{p}E{e}/I{idx:06d}.npy``
+    fp16 files (generate_PSFs.py:67-91), center-cropped 256 -> 128 exactly
+    as the BlurImage transform does (transforms.py:303-309). Returns
+    [P, F, bank_size, 128, 128] float32."""
+    import os
+
+    out = np.zeros((n_params, n_fractions, bank_size, 128, 128), np.float32)
+    for pi in range(n_params):
+        for fi in range(n_fractions):
+            folder = os.path.join(directory, f"P{pi + 1}E{fi + 1}")
+            for i in range(bank_size):
+                path = os.path.join(folder, f"I{i:06d}.npy")
+                if not os.path.exists(path):
+                    raise FileNotFoundError(
+                        f"stored PSF bank incomplete: {path} "
+                        f"(expected {bank_size} PSFs per P*E* folder)")
+                psf = np.load(path).astype(np.float32)
+                if psf.shape[0] > 128:   # 256-canvas files: central crop
+                    o = (psf.shape[0] - 128) // 2
+                    psf = psf[o:o + 128, o:o + 128]
+                out[pi, fi, i] = psf
     return out

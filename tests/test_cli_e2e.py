@@ -102,7 +102,7 @@ def test_train_cli_smoke(coco_root, tiny_cli, tmp_path):
         "--data-path", coco_root, "--blur_train", "--gpu_blur",
         "--expand_target_boxes", "-b", "2", "--epochs", "1",
         "--early_stop", "2", "--output_dir", str(out),
-        "--lr", "0.001", "--print-freq", "1",
+        "--lr", "0.001", "--print-freq", "1", "--eval_first",
     ])
     assert (out / "model_0").exists()
 

@@ -123,3 +123,57 @@ def test_loader_epoch_reshuffle(rng):
     ids1 = [ids[0] for _, _, ids in loader]
     assert sorted(ids0) == sorted(ids1)
     assert ids0 != ids1
+
+
+def test_load_psf_bank_from_reference_layout(tmp_path):
+    """Stored-PSF loading (--use_stored_psfs --stored_psf_directory):
+    P{p}E{e}/I{idx:06d}.npy fp16 files, 256-canvas crops to central 128."""
+    import os
+
+    from detectinblur_tpu.data.blur_sampling import load_psf_bank
+
+    rng = np.random.default_rng(3)
+    for p in range(1, 4):
+        for e in range(1, 6):
+            d = tmp_path / f"P{p}E{e}"
+            os.makedirs(d)
+            for i in range(2):
+                psf = np.zeros((256, 256), np.float16)
+                psf[120:136, 120:136] = rng.random((16, 16)).astype(np.float16)
+                np.save(d / f"I{i:06d}.npy", psf)
+    bank = load_psf_bank(str(tmp_path), bank_size=2)
+    assert bank.shape == (3, 5, 2, 128, 128)
+    assert bank.dtype == np.float32
+    # The 256->128 crop keeps the central mass.
+    assert bank[0, 0, 0].sum() > 0
+    with pytest.raises(FileNotFoundError):
+        load_psf_bank(str(tmp_path), bank_size=3)
+
+
+def test_get_coco_kp_targets(tmp_path):
+    """Keypoint dataset wiring (coco_utils.get_coco_kp)."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from detectinblur_tpu.data.coco import get_coco_kp
+
+    os.makedirs(tmp_path / "val2017")
+    os.makedirs(tmp_path / "annotations")
+    Image.fromarray(np.zeros((60, 80, 3), np.uint8)).save(
+        tmp_path / "val2017" / "000000000001.jpg")
+    kps = [float(v) for v in np.tile([30.0, 20.0, 2.0], 17)]
+    ann = {"images": [{"id": 1, "file_name": "000000000001.jpg",
+                       "height": 60, "width": 80}],
+           "categories": [{"id": 1, "name": "person"}],
+           "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                            "bbox": [10.0, 10.0, 40.0, 30.0], "area": 1200.0,
+                            "iscrowd": 0, "keypoints": kps,
+                            "num_keypoints": 17}]}
+    with open(tmp_path / "annotations" / "person_keypoints_val2017.json", "w") as f:
+        json.dump(ann, f)
+    ds = get_coco_kp(str(tmp_path), "val")
+    item = ds[0]
+    assert item["keypoints"].shape == (1, 17, 3)
+    assert item["keypoints"][0, 0, 2] == 2.0
