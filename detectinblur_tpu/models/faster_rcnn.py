@@ -277,9 +277,28 @@ class FasterRCNN:
         )
 
         p2to5 = feats[:4]
-        logits, deltas = jax.vmap(
-            lambda f0, f1, f2, f3, r: self._box_outputs(params, (f0, f1, f2, f3), r)
-        )(*p2to5, rois)
+        if cfg.pallas_roi_align and jax.default_backend() in ("tpu", "axon"):
+            # Pallas forward + window-RMW backward (custom VJP): the XLA
+            # quad path's take + backward scatter were ~65 ms of the
+            # training step at batch 8 x 512 rois.
+            import math
+
+            from detectinblur_tpu.ops.roi_align_pallas import (
+                multiscale_roi_align_fused,
+            )
+            from detectinblur_tpu.models.resnet import CONV_PRECISION
+
+            rps = 4 if CONV_PRECISION == jax.lax.Precision.DEFAULT else 2
+            bound = math.sqrt(bucket[0] * bucket[1]) / 32 + 3
+            wy = max(32, int(math.ceil(bound / 8)) * 8)
+            pooled = multiscale_roi_align_fused(p2to5, rois, 7, 2, rps,
+                                                wy, wy + 8)
+            logits, deltas = jax.vmap(
+                lambda p: self._head_from_pooled(params, p))(pooled)
+        else:
+            logits, deltas = jax.vmap(
+                lambda f0, f1, f2, f3, r: self._box_outputs(params, (f0, f1, f2, f3), r)
+            )(*p2to5, rois)
 
         ce_sum, box_sum, n = jax.vmap(fastrcnn_loss)(logits, deltas, roi_labels, reg_targets)
         n_tot = jnp.maximum(jnp.sum(n), 1)

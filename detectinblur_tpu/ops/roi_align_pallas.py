@@ -152,21 +152,14 @@ def _geometry(flat_boxes, sizes, scales, s, g):
     return lvl, Hl, Wl, flat(ypar), flat(xpar)
 
 
-def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
-                 win_dtype, rps, win_y, win_x, s, g, pad_y=None, pad_x=None):
-    """One pallas_call over N rois. Returns (out [N,s,s,C], oversized [N]).
-
-    ``pad_y``/``pad_x``: how much bottom/right zero padding the level
-    buffers actually carry (defaults to the window size). When the window
-    is wider than the padding (tier 2 reuses tier-1 buffers), origins are
-    clamped leftward/upward so the DMA stays in bounds — the selection
-    matrices reference the clamped origin, so results stay exact, and the
-    window still reaches the level edge."""
-    N = flat_boxes.shape[0]
-    C = pads[0].shape[-1]
-    # Actual per-level bottom/right padding of the buffers.
-    pad_y = np.full(len(pads), win_y) if pad_y is None else np.asarray(pad_y)
-    pad_x = np.full(len(pads), win_x) if pad_x is None else np.asarray(pad_x)
+def _window_geometry(flat_boxes, sizes, scales, win_y, win_x, s, g,
+                     pad_y=None, pad_x=None):
+    """Tier-window geometry shared by the forward and backward kernels:
+    per-roi (level, clamped window origin, folded selection matrices,
+    oversized flag)."""
+    L = len(sizes)
+    pad_y = np.full(L, win_y) if pad_y is None else np.asarray(pad_y)
+    pad_x = np.full(L, win_x) if pad_x is None else np.asarray(pad_x)
 
     lvl, Hl, Wl, ypar, xpar = _geometry(flat_boxes, sizes, scales, s, g)
     y_lo, _, wy_lo, wy_hi, y_ok = ypar
@@ -188,6 +181,24 @@ def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
     # Fold the separable 2x2 bin mean into the selection rows.
     ty = 0.5 * (ty[:, 0::2] + ty[:, 1::2])                   # [N, 7, win_y]
     tx = 0.5 * (tx[:, 0::2] + tx[:, 1::2])
+    return lvl, y0, x0, ty, tx, oversized
+
+
+def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
+                 win_dtype, rps, win_y, win_x, s, g, pad_y=None, pad_x=None):
+    """One pallas_call over N rois. Returns (out [N,s,s,C], oversized [N]).
+
+    ``pad_y``/``pad_x``: how much bottom/right zero padding the level
+    buffers actually carry (defaults to the window size). When the window
+    is wider than the padding (tier 2 reuses tier-1 buffers), origins are
+    clamped leftward/upward so the DMA stays in bounds — the selection
+    matrices reference the clamped origin, so results stay exact, and the
+    window still reaches the level edge."""
+    N = flat_boxes.shape[0]
+    C = pads[0].shape[-1]
+
+    lvl, y0, x0, ty, tx, oversized = _window_geometry(
+        flat_boxes, sizes, scales, win_y, win_x, s, g, pad_y, pad_x)
 
     n_steps = pl.cdiv(N, rps)
     pad_n = n_steps * rps - N
@@ -346,3 +357,282 @@ def pallas_multiscale_roi_align(
         out,
     )
     return out.reshape(B, R, s, s, C)
+
+
+# ======================================================================
+# Backward (training): window read-modify-write accumulation kernel.
+#
+# RoIAlign is linear in the features: out[r] = T_y[r] @ win[r] @ T_x[r]^T,
+# so d(features) is "place T_y^T @ dout[r] @ T_x back at the roi's window
+# origin, summed over rois". XLA's take-VJP does this as a scatter of 802k
+# sample rows (37 ms/step at batch 8 x 512 rois); a window `scatter_add`
+# is catastrophically worse (TPU scatter serializes per update — a 4096-
+# window microbench did not finish one iteration in 14 min). This kernel
+# streams whole [win_y, win_x, C] f32 windows HBM->VMEM->HBM instead:
+#
+#   * Rois are laid out in CHAINS, one image per chain (an image's rois
+#     never split across chains), so windows of different chains can never
+#     overlap and their read-modify-write DMAs run concurrently.
+#   * Within a chain the grid's sequential steps serialize: step s waits
+#     chain c's step-(s-1) write-back before reading — exact accumulation
+#     for arbitrarily overlapping windows of one image.
+#   * dwin is two small MXU contractions laid out so no transposes appear:
+#     v = T_x^T(j-contract) dout -> [wx, 7, C]; dwin = T_y^T v -> [wy, wx, C].
+#
+# Oversized rois (window overflow, ~1%) are excluded (their selection
+# rows are zeroed) and handled exactly by a k-bounded take-VJP over the
+# image-flattened pyramid.
+# ======================================================================
+
+
+def _bwd_kernel_factory(chains, win_y, win_x, n_steps):
+
+    def kernel(img_ref, lvl_ref, y0_ref, x0_ref,         # scalar [chains, S]
+               z2, z3, z4, z5,                           # aliased zero inits
+               dout_ref, ty_ref, tx_ref,                 # VMEM blocks
+               o2, o3, o4, o5,                           # ANY level grads
+               win, in_sems, out_sems):
+        del z2, z3, z4, z5
+        step = pl.program_id(0)
+        outs = (o2, o3, o4, o5)
+
+        # Scalars are [chains, steps]: the steps-minor layout keeps the
+        # SMEM rows lane-aligned (a [steps, chains] layout lane-pads every
+        # 4-wide row to 128 and blows the 1 MB SMEM budget).
+        def copy(si, c, li, inbound):
+            region = outs[li].at[
+                img_ref[c, si], pl.ds(y0_ref[c, si], win_y),
+                pl.ds(pl.multiple_of(x0_ref[c, si], 8), win_x), :]
+            if inbound:
+                return pltpu.make_async_copy(region, win.at[c], in_sems.at[c])
+            return pltpu.make_async_copy(win.at[c], region, out_sems.at[c])
+
+        def roi_dma(si, c, inbound, do_wait):
+            for li in range(4):
+                @pl.when(lvl_ref[c, si] == li)
+                def _():
+                    dma = copy(si, c, li, inbound)
+                    (dma.wait if do_wait else dma.start)()
+
+        # Wait the chain's previous write-back, then fetch this window.
+        for c in range(chains):
+            @pl.when(step > 0)
+            def _():
+                roi_dma(step - 1, c, inbound=False, do_wait=True)
+            roi_dma(step, c, inbound=True, do_wait=False)
+
+        for c in range(chains):
+            roi_dma(step, c, inbound=True, do_wait=True)
+            do = dout_ref[0, c].astype(jnp.float32)        # [7, 7, C]
+            tyT = ty_ref[0, c].astype(jnp.float32)         # [win_y, 7]
+            txT = tx_ref[0, c].astype(jnp.float32)         # [win_x, 7]
+            v = jax.lax.dot_general(
+                txT, do, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [wx, 7, C]
+            dwin = jax.lax.dot_general(
+                tyT, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [wy, wx, C]
+            win[c] = win[c] + dwin
+            roi_dma(step, c, inbound=False, do_wait=False)
+
+        @pl.when(step == n_steps - 1)
+        def _():
+            for c in range(chains):
+                roi_dma(step, c, inbound=False, do_wait=True)
+
+    return kernel
+
+
+def _chain_order(B, R, chains):
+    """Static roi ordering [steps, chains]: chain c owns images
+    {c, c+chains, ...} with their rois interleaved; -1 = dummy slot."""
+    per_chain = -(-B // chains)
+    steps = per_chain * R
+    ord_ = np.full((steps, chains), -1, np.int64)
+    for c in range(chains):
+        imgs = list(range(c, B, chains))
+        seq = [b * R + r for r in range(R) for b in imgs]
+        ord_[: len(seq), c] = seq
+    return ord_, steps
+
+
+def _pallas_roi_align_bwd(feat_shapes, boxes, dout, win_y, win_x, chains=4):
+    """Tier-1 window-RMW gradients. Returns (grads per level [B,H,W,C]
+    in f32, oversized [N] mask)."""
+    B, R = boxes.shape[:2]
+    N = B * R
+    C = dout.shape[-1]
+    s, g = 7, 2
+    sizes = np.array([[h, w] for (h, w) in feat_shapes], np.int32)
+    scales = np.array([0.25, 0.125, 0.0625, 0.03125], np.float32)
+
+    flat_boxes = boxes.reshape(N, 4)
+    img_idx = jnp.arange(N, dtype=jnp.int32) // R
+    lvl, y0, x0, ty, tx, oversized = _window_geometry(
+        flat_boxes, sizes, scales, win_y, win_x, s, g)
+    keep = (~oversized).astype(ty.dtype)
+    ty = ty * keep[:, None, None]
+
+    chains = min(chains, B)
+    ord_, steps = _chain_order(B, R, chains)
+    mask = jnp.asarray(ord_ >= 0)
+    idx = jnp.asarray(np.maximum(ord_, 0))
+
+    def arrange(a, fill):
+        out = a[idx]
+        m = mask.reshape(mask.shape + (1,) * (out.ndim - 2))
+        return jnp.where(m, out, fill)
+
+    img_a = arrange(img_idx, 0).T        # [chains, steps] (SMEM layout)
+    lvl_a = arrange(lvl, 0).T
+    # Dummy windows live entirely in level-0's bottom pad rows ([H0, H0+wy)):
+    # they can only race with other dummies / real pad rows, all sliced off.
+    y0_a = arrange(y0, int(sizes[0, 0])).T
+    x0_a = arrange(x0, 0).T
+    ty_a = arrange(ty, 0.0)            # zero rows -> dwin == 0 for dummies
+    tx_a = arrange(tx, 0.0)
+    dout_a = dout.reshape(N, s, s, C)[idx]
+    tyT = jnp.swapaxes(ty_a, -1, -2)   # [steps, chains, win_y, 7]
+    txT = jnp.swapaxes(tx_a, -1, -2)
+
+    zeros = [jnp.zeros((B, h + win_y, w + win_x, C), jnp.float32)
+             for (h, w) in feat_shapes]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [
+            pl.BlockSpec((1, chains, s, s, C),
+                         lambda i, *_: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chains, win_y, s),
+                         lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chains, win_x, s),
+                         lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((chains, win_y, win_x, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((chains,)),
+            pltpu.SemaphoreType.DMA((chains,)),
+        ],
+    )
+    kernel = _bwd_kernel_factory(chains, win_y, win_x, steps)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(z.shape, z.dtype) for z in zeros],
+        # Zero-initialized accumulators: inputs 4..7 (after the 4 scalar-
+        # prefetch operands) are donated to outputs 0..3.
+        input_output_aliases={4 + i: i for i in range(4)},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * steps * chains * (win_x * s * s * C + win_y * win_x * s * C),
+            bytes_accessed=2 * steps * chains * win_y * win_x * C * 4,
+            transcendentals=0,
+        ),
+    )(img_a, lvl_a, y0_a, x0_a, *zeros, dout_a, tyT, txT)
+    grads = [o[:, :h, :w, :] for o, (h, w) in zip(outs, feat_shapes)]
+    return grads, oversized
+
+
+def _oversized_grads(feat_shapes, B, boxes, dout, oversized, k):
+    """Exact gradients for a k-bounded compaction of oversized rois via the
+    take-based quad formulation over a 4B-level flat pyramid. The take's
+    VJP is ONE scatter-add of k*196 rows; routing this through the
+    dynamic-slice-pair formulation instead transposes into a serial
+    batched dynamic-update-slice while loop (~270 ms for k=256 — measured).
+    The whole computation sits behind a lax.cond: zero cost on the common
+    all-tier-1 batch."""
+    R = boxes.shape[1]
+    N = B * R
+    C = dout.shape[-1]
+    k = min(k, N)
+    flat_boxes = boxes.reshape(N, 4)
+    img_idx = jnp.arange(N, dtype=jnp.int32) // R
+    lvl = _assign_levels_cached(flat_boxes)
+
+    scales32 = jnp.asarray([0.25, 0.125, 0.0625, 0.03125] * B, jnp.float32)
+
+    sel, idx = jax.lax.top_k(oversized.astype(jnp.float32), k)
+    sub_boxes = flat_boxes[idx]
+    sub_levels = img_idx[idx] * 4 + lvl[idx]
+    sub_dout = (dout.reshape(N, 7, 7, C)[idx].astype(jnp.float32)
+                * sel[:, None, None, None])
+
+    from detectinblur_tpu.ops.roi_align import _build_quad, _quad_sample
+
+    def f(levels32):
+        quad, offs, szs = _build_quad(levels32)
+        return _quad_sample(quad, sub_levels, offs, szs, scales32,
+                            sub_boxes, 7, 2, jnp.float32)
+
+    zeros32 = [jnp.zeros((h, w, C), jnp.float32)
+               for _ in range(B) for (h, w) in feat_shapes]
+
+    def compute(_):
+        _, vjp = jax.vjp(f, zeros32)
+        d32 = vjp(sub_dout)[0]
+        return tuple(
+            jnp.stack([d32[b * 4 + li] for b in range(B)])
+            for li in range(4))
+
+    def skip(_):
+        return tuple(jnp.zeros((B, h, w, C), jnp.float32)
+                     for (h, w) in feat_shapes)
+
+    return jax.lax.cond(jnp.any(oversized), compute, skip, 0)
+
+
+def _assign_levels_cached(flat_boxes):
+    from detectinblur_tpu.ops.roi_align import _assign_levels
+
+    return _assign_levels(flat_boxes, 224, 4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def multiscale_roi_align_fused(
+    features,                 # tuple of 4 levels [B, H_l, W_l, C]
+    boxes,                    # [B, R, 4]
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    rois_per_step: int = 4,
+    win_y: int = 48,
+    win_x: int = 56,
+):
+    """Differentiable batched FPN RoIAlign: Pallas window kernel forward,
+    Pallas window-RMW backward (boxes get zero cotangents — proposals are
+    detached, matching torchvision's roi_align which has no box grad)."""
+    return pallas_multiscale_roi_align(
+        tuple(features), boxes, output_size, sampling_ratio, rois_per_step,
+        win_y, win_x)
+
+
+def _fused_fwd(features, boxes, output_size, sampling_ratio, rois_per_step,
+               win_y, win_x):
+    out = pallas_multiscale_roi_align(
+        tuple(features), boxes, output_size, sampling_ratio, rois_per_step,
+        win_y, win_x)
+    # Zero-size placeholders carry each level's (H, W) + dtype to bwd.
+    shapes = tuple(jnp.zeros((f.shape[1], f.shape[2], 0), f.dtype)
+                   for f in features)
+    return out, (boxes, shapes)
+
+
+def _fused_bwd(output_size, sampling_ratio, rois_per_step, win_y, win_x,
+               res, dout):
+    assert output_size == 7 and sampling_ratio == 2, (
+        "fused backward supports the torchvision 7x7/2 configuration")
+    boxes, shapes = res
+    feat_shapes = [(p.shape[0], p.shape[1]) for p in shapes]
+    feat_dtype = shapes[0].dtype
+    grads, oversized = _pallas_roi_align_bwd(
+        feat_shapes, boxes, dout, win_y, win_x)
+    B = boxes.shape[0]
+    # Oversized rois: exact flat-pyramid take-VJP on a k-bounded subset.
+    over = _oversized_grads(feat_shapes, B, boxes, dout, oversized, TIER2_K)
+    dfeat = tuple(
+        (g_ + o_).astype(feat_dtype) for g_, o_ in zip(grads, over))
+    return dfeat, jnp.zeros_like(boxes)
+
+
+multiscale_roi_align_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -85,3 +85,42 @@ def test_pallas_budget_escape_hatch(rng):
                                                       tier2_k=2))
 
     np.testing.assert_allclose(ours, _expected(feats, boxes), atol=2e-5)
+
+
+def test_fused_vjp_matches_quad_grads(rng):
+    """multiscale_roi_align_fused: the window-RMW backward kernel (plus the
+    oversized take-VJP fallback) must match autodiff through the XLA quad
+    formulation exactly (both are exact linear-operator transposes)."""
+    from detectinblur_tpu.ops.roi_align_pallas import multiscale_roi_align_fused
+
+    B, R = 2, 6
+    feats = _feats(rng, B)
+    boxes = np.zeros((B, R, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, 180, (B, R))
+    boxes[..., 1] = rng.uniform(0, 140, (B, R))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(8, 90, (B, R))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(8, 90, (B, R))
+    # Overlapping rois in one image stress the sequential accumulation;
+    # one oversized wide sliver exercises the take-VJP fallback.
+    boxes[0, 1] = boxes[0, 0] + np.array([4, 4, 4, 4], np.float32)
+    boxes[0, 2] = [0.0, 60.0, 318.0, 70.0]
+    boxes = jnp.asarray(boxes)
+    w = jnp.asarray(rng.random((B, R, 7, 7, 8), dtype=np.float32))
+
+    def quad_loss(fs):
+        out = jnp.stack([
+            multiscale_roi_align(tuple(f[b] for f in fs), boxes[b])
+            for b in range(B)])
+        return jnp.sum(out * w)
+
+    def fused_loss(fs):
+        out = multiscale_roi_align_fused(tuple(fs), boxes, 7, 2, 2, 16, 24)
+        return jnp.sum(out * w)
+
+    expected = jax.grad(quad_loss)(feats)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(fused_loss)(feats)
+
+    for g, e in zip(got, expected):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e),
+                                   atol=3e-5, rtol=1e-4)
