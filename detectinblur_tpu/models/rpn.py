@@ -163,6 +163,7 @@ def balanced_sample(
     max_pos = int(batch_size * positive_fraction)
 
     def pick(mask, cap, n_take, k):
+        cap = min(cap, labels.shape[0])   # tiny anchor grids: A < budget
         r = jax.random.uniform(k, labels.shape)
         r = jnp.where(mask, r, jnp.inf)
         smallest = -jax.lax.top_k(-r, cap)[0]        # ascending cap-smallest
@@ -202,7 +203,8 @@ def rpn_loss(
     # Box regression only touches the <=128 sampled positives: compact them
     # into fixed slots instead of materializing [A, 4] targets (the full
     # matched-gt gather + encode over 260k anchors was ~10 ms/step).
-    max_pos = int(cfg.batch_size_per_image * cfg.positive_fraction)
+    max_pos = min(int(cfg.batch_size_per_image * cfg.positive_fraction),
+                  sel_pos.shape[0])
     pos_f, pos_idx = jax.lax.top_k(sel_pos.astype(jnp.float32), max_pos)
     pos_ok = pos_f > 0
     targets = encode_boxes(gt_boxes[matches[pos_idx]], anchors[pos_idx],
