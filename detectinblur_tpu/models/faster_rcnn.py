@@ -184,7 +184,12 @@ class FasterRCNN:
         rpn_out = run_rpn(params["rpn_head"], self.rpn_head, feats, new_hw,
                           training=False, cfg=cfg.rpn)
 
-        if cfg.pallas_roi_align and jax.default_backend() in ("tpu", "axon"):
+        if (cfg.pallas_roi_align and jax.default_backend() in ("tpu", "axon")
+                and jax.device_count() == 1):
+            # Pallas custom calls have no GSPMD partitioning rule: under a
+            # multi-chip mesh the partitioner would all-gather the batch and
+            # replicate the kernel per device. The XLA quad path shards
+            # cleanly, so multi-chip runs take it automatically.
             from detectinblur_tpu.ops.roi_align_pallas import (
                 pallas_multiscale_roi_align,
             )
@@ -277,7 +282,12 @@ class FasterRCNN:
         )
 
         p2to5 = feats[:4]
-        if cfg.pallas_roi_align and jax.default_backend() in ("tpu", "axon"):
+        if (cfg.pallas_roi_align and jax.default_backend() in ("tpu", "axon")
+                and jax.device_count() == 1):
+            # Pallas custom calls have no GSPMD partitioning rule: under a
+            # multi-chip mesh the partitioner would all-gather the batch and
+            # replicate the kernel per device. The XLA quad path shards
+            # cleanly, so multi-chip runs take it automatically.
             # Pallas forward + window-RMW backward (custom VJP): the XLA
             # quad path's take + backward scatter were ~65 ms of the
             # training step at batch 8 x 512 rois.
