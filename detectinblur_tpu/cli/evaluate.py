@@ -249,7 +249,12 @@ def main(argv=None):
         writer.close()
         return stats
 
-    dataset_val = get_coco(args.data_path, "val")
+    if args.dataset == "coco_kp":
+        from detectinblur_tpu.data.coco import get_coco_kp
+
+        dataset_val = get_coco_kp(args.data_path, "val")
+    else:
+        dataset_val = get_coco(args.data_path, "val")
 
     with mesh:
         if args.vanilla_eval or not args.blur_eval:
@@ -262,10 +267,13 @@ def main(argv=None):
 
         # Blur sweep: skip param 0 and fraction 0 as legacy
         # (evaluate.py:302-310).
-        if args.use_stored_psfs and args.stored_psf_directory:
+        if args.use_stored_psfs:
+            if not args.stored_psf_directory:
+                raise ValueError("--use_stored_psfs requires "
+                                 "--stored_psf_directory")
             from detectinblur_tpu.data.blur_sampling import load_psf_bank
 
-            bank = load_psf_bank(args.stored_psf_directory)
+            bank = load_psf_bank(args.stored_psf_directory, max_bank=256)
         else:
             bank = generate_psf_bank(jax.random.key(7), bank_size=256,
                                      center=not args.dont_center_psf)

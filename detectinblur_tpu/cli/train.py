@@ -38,9 +38,12 @@ BLUR_STAT_TAGS = ["AveragePrecision", "AP50", "AP75", "APSmall", "APMedium",
 
 def build_model(args, bn_mode=None):
     """Reference model dispatch by substring, train.py:218-230: FPN
-    detector, or a versatile single-map mobile_net / resnet_50."""
+    detector, or a versatile single-map mobile_net / resnet_50. The
+    dataset sets num_classes (get_dataset: coco -> 91, coco_kp -> 2)."""
+    num_classes = 2 if getattr(args, "dataset", "coco") == "coco_kp" else 91
     if "fasterrcnn_resnet50_fpn" in args.model:
-        cfg = FasterRCNNConfig(warp_internally=args.warp_in_model,
+        cfg = FasterRCNNConfig(num_classes=num_classes,
+                               warp_internally=args.warp_in_model,
                                bn_mode=bn_mode)
         return FasterRCNN(cfg)
     from detectinblur_tpu.models.backbones import (
@@ -49,11 +52,11 @@ def build_model(args, bn_mode=None):
     )
 
     if "mobile_net" in args.model:
-        return SingleMapFasterRCNN(SingleMapConfig("mobile_net",
-                                                   bn_mode=bn_mode))
+        return SingleMapFasterRCNN(SingleMapConfig(
+            "mobile_net", num_classes=num_classes, bn_mode=bn_mode))
     if "resnet_50" in args.model:
-        return SingleMapFasterRCNN(SingleMapConfig("resnet50",
-                                                   bn_mode=bn_mode))
+        return SingleMapFasterRCNN(SingleMapConfig(
+            "resnet50", num_classes=num_classes, bn_mode=bn_mode))
     raise ValueError(f"Unrecognized model type {args.model!r} "
                      "(train.py:228-230 semantics)")
 
@@ -130,16 +133,18 @@ def main(argv=None):
 
     psf_bank = None
     if args.blur_train:
-        if args.use_stored_psfs and args.stored_psf_directory:
+        if args.use_stored_psfs:
+            if not args.stored_psf_directory:
+                raise ValueError("--use_stored_psfs requires "
+                                 "--stored_psf_directory (transforms.py "
+                                 "loads from that folder in the reference)")
             from detectinblur_tpu.data.blur_sampling import load_psf_bank
 
             print(f"loading stored PSF bank from {args.stored_psf_directory}...")
             psf_bank = load_psf_bank(args.stored_psf_directory)
         else:
-            bank_size = 12000 if args.use_stored_psfs else 512
-            print(f"generating device PSF bank ({bank_size}/bin)...")
-            psf_bank = generate_psf_bank(jax.random.key(7),
-                                         bank_size=min(bank_size, 2048),
+            print("generating device PSF bank (512/bin)...")
+            psf_bank = generate_psf_bank(jax.random.key(7), bank_size=512,
                                          center=not args.dont_center_psf)
 
     augmix_cfg = None

@@ -124,22 +124,45 @@ def generate_psf_bank(
 
 def load_psf_bank(
     directory: str,
-    bank_size: int = 12000,
+    bank_size: Optional[int] = None,
     n_params: int = 3,
     n_fractions: int = 5,
+    max_bank: int = 2048,
 ) -> np.ndarray:
     """Load a stored PSF bank from the reference's on-disk layout
     (--use_stored_psfs --stored_psf_directory): ``P{p}E{e}/I{idx:06d}.npy``
     fp16 files (generate_PSFs.py:67-91), center-cropped 256 -> 128 exactly
     as the BlurImage transform does (transforms.py:303-309). Returns
-    [P, F, bank_size, 128, 128] float32."""
+    [P, F, n, 128, 128] float32.
+
+    ``bank_size=None`` autodetects the smallest per-folder count. The bank
+    lives in device HBM (the reference loads one PSF per image lazily from
+    loader workers), so it is stride-subsampled to at most ``max_bank`` per
+    bin — the full 12000/bin reference set would be 11.8 GB."""
     import os
 
-    out = np.zeros((n_params, n_fractions, bank_size, 128, 128), np.float32)
+    if bank_size is None:
+        counts = []
+        for pi in range(n_params):
+            for fi in range(n_fractions):
+                folder = os.path.join(directory, f"P{pi + 1}E{fi + 1}")
+                if not os.path.isdir(folder):
+                    raise FileNotFoundError(
+                        f"stored PSF bank folder missing: {folder}")
+                counts.append(sum(1 for f_ in os.listdir(folder)
+                                  if f_.endswith(".npy")))
+        bank_size = min(counts)
+        if bank_size == 0:
+            raise FileNotFoundError(f"no .npy PSFs under {directory}/P*E*")
+    take = min(bank_size, max_bank)
+    stride = max(1, bank_size // take)
+    indices = list(range(0, stride * take, stride))[:take]
+
+    out = np.zeros((n_params, n_fractions, take, 128, 128), np.float32)
     for pi in range(n_params):
         for fi in range(n_fractions):
             folder = os.path.join(directory, f"P{pi + 1}E{fi + 1}")
-            for i in range(bank_size):
+            for j, i in enumerate(indices):
                 path = os.path.join(folder, f"I{i:06d}.npy")
                 if not os.path.exists(path):
                     raise FileNotFoundError(
@@ -149,5 +172,5 @@ def load_psf_bank(
                 if psf.shape[0] > 128:   # 256-canvas files: central crop
                     o = (psf.shape[0] - 128) // 2
                     psf = psf[o:o + 128, o:o + 128]
-                out[pi, fi, i] = psf
+                out[pi, fi, j] = psf
     return out

@@ -160,6 +160,31 @@ class FasterRCNN:
         pooled = multiscale_roi_align(feats_i, rois)        # [R, 7, 7, C]
         return self._head_from_pooled(params, pooled)
 
+    def _pallas_pool_plan(self, bucket: Tuple[int, int]):
+        """(use_pallas, rois_per_step, win_y) — shared by predict and loss
+        so inference and training window geometry can't desynchronize.
+
+        Pallas custom calls have no GSPMD partitioning rule: under a
+        multi-chip mesh the partitioner would all-gather the batch and
+        replicate the kernel per device, so multi-device runs take the XLA
+        quad path, which shards cleanly along the batch axis."""
+        use = (self.cfg.pallas_roi_align
+               and jax.default_backend() in ("tpu", "axon")
+               and jax.device_count() == 1)
+        if not use:
+            return False, 0, 0
+        import math
+
+        from detectinblur_tpu.models.resnet import CONV_PRECISION
+
+        # f32 windows need double the VMEM: halve the rois per step.
+        rps = 4 if CONV_PRECISION == jax.lax.Precision.DEFAULT else 2
+        # Tier-1/2 window sized to the bucket's P5 geometric-mean bound
+        # (sqrt(Hb*Wb)/32 + spill), rounded to the sublane multiple.
+        bound = math.sqrt(bucket[0] * bucket[1]) / 32 + 3
+        wy = max(32, int(math.ceil(bound / 8)) * 8)
+        return True, rps, wy
+
     # ----------------------------------------------------------- inference
     def predict(
         self,
@@ -184,24 +209,12 @@ class FasterRCNN:
         rpn_out = run_rpn(params["rpn_head"], self.rpn_head, feats, new_hw,
                           training=False, cfg=cfg.rpn)
 
-        if (cfg.pallas_roi_align and jax.default_backend() in ("tpu", "axon")
-                and jax.device_count() == 1):
-            # Pallas custom calls have no GSPMD partitioning rule: under a
-            # multi-chip mesh the partitioner would all-gather the batch and
-            # replicate the kernel per device. The XLA quad path shards
-            # cleanly, so multi-chip runs take it automatically.
+        use_pallas, rps, wy = self._pallas_pool_plan(bucket)
+        if use_pallas:
             from detectinblur_tpu.ops.roi_align_pallas import (
                 pallas_multiscale_roi_align,
             )
-            from detectinblur_tpu.models.resnet import CONV_PRECISION
 
-            # f32 windows need double the VMEM: halve the rois per step.
-            rps = 4 if CONV_PRECISION == jax.lax.Precision.DEFAULT else 2
-            # Tier-1/2 window sized to the bucket's P5 geometric-mean bound
-            # (sqrt(Hb*Wb)/32 + spill), rounded to the sublane multiple.
-            import math
-            bound = math.sqrt(bucket[0] * bucket[1]) / 32 + 3
-            wy = max(32, int(math.ceil(bound / 8)) * 8)
             pooled = pallas_multiscale_roi_align(feats[:4], rpn_out.proposals,
                                                  rois_per_step=rps,
                                                  win_y=wy, win_x=wy + 8)
@@ -282,25 +295,15 @@ class FasterRCNN:
         )
 
         p2to5 = feats[:4]
-        if (cfg.pallas_roi_align and jax.default_backend() in ("tpu", "axon")
-                and jax.device_count() == 1):
-            # Pallas custom calls have no GSPMD partitioning rule: under a
-            # multi-chip mesh the partitioner would all-gather the batch and
-            # replicate the kernel per device. The XLA quad path shards
-            # cleanly, so multi-chip runs take it automatically.
+        use_pallas, rps, wy = self._pallas_pool_plan(bucket)
+        if use_pallas:
             # Pallas forward + window-RMW backward (custom VJP): the XLA
             # quad path's take + backward scatter were ~65 ms of the
             # training step at batch 8 x 512 rois.
-            import math
-
             from detectinblur_tpu.ops.roi_align_pallas import (
                 multiscale_roi_align_fused,
             )
-            from detectinblur_tpu.models.resnet import CONV_PRECISION
 
-            rps = 4 if CONV_PRECISION == jax.lax.Precision.DEFAULT else 2
-            bound = math.sqrt(bucket[0] * bucket[1]) / 32 + 3
-            wy = max(32, int(math.ceil(bound / 8)) * 8)
             pooled = multiscale_roi_align_fused(p2to5, rois, 7, 2, rps,
                                                 wy, wy + 8)
             logits, deltas = jax.vmap(

@@ -166,9 +166,13 @@ def balanced_sample(
         cap = min(cap, labels.shape[0])   # tiny anchor grids: A < budget
         r = jax.random.uniform(k, labels.shape)
         r = jnp.where(mask, r, jnp.inf)
-        smallest = -jax.lax.top_k(-r, cap)[0]        # ascending cap-smallest
-        thr = smallest[jnp.maximum(n_take - 1, 0)]
-        return mask & (r <= thr) & (n_take > 0)
+        # Mark exactly the first n_take of the cap-smallest indices (f32
+        # keys collide at ~260k draws, so a threshold compare over-selects;
+        # a 256-update scatter of the top_k indices is exact and cheap).
+        _, idxs = jax.lax.top_k(-r, cap)
+        sel = jnp.zeros(labels.shape, bool).at[idxs].set(
+            jnp.arange(cap) < n_take)
+        return sel & mask
 
     num_pos = jnp.minimum(jnp.sum(pos), max_pos)
     sel_pos = pick(pos, max_pos, num_pos, kp)

@@ -628,10 +628,23 @@ def _fused_bwd(output_size, sampling_ratio, rois_per_step, win_y, win_x,
     grads, oversized = _pallas_roi_align_bwd(
         feat_shapes, boxes, dout, win_y, win_x)
     B = boxes.shape[0]
+    N = B * boxes.shape[1]
     # Oversized rois: exact flat-pyramid take-VJP on a k-bounded subset.
-    over = _oversized_grads(feat_shapes, B, boxes, dout, oversized, TIER2_K)
+    # Budget mirrors the forward's per-orientation tiers (2 x TIER2_K); on
+    # overflow the WHOLE backward recomputes via the take-VJP over all
+    # rois (the forward's tier-3 escape), so gradients are never dropped.
+    k = min(2 * TIER2_K, N)
+    over = _oversized_grads(feat_shapes, B, boxes, dout, oversized, k)
     dfeat = tuple(
         (g_ + o_).astype(feat_dtype) for g_, o_ in zip(grads, over))
+
+    def full_recompute(_):
+        all_rois = jnp.ones((N,), bool)
+        full = _oversized_grads(feat_shapes, B, boxes, dout, all_rois, N)
+        return tuple(f.astype(feat_dtype) for f in full)
+
+    dfeat = jax.lax.cond(jnp.sum(oversized) > k,
+                         full_recompute, lambda _: dfeat, 0)
     return dfeat, jnp.zeros_like(boxes)
 
 
