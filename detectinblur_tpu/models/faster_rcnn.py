@@ -110,8 +110,16 @@ class FasterRCNN:
     def init(self, key: jax.Array, bucket: Tuple[int, int] = (832, 832)):
         kb, kr, kh, kp = jax.random.split(key, 4)
         dummy = jnp.zeros((1, bucket[0], bucket[1], 3), jnp.float32)
-        backbone = self.backbone.init(kb, dummy)["params"]
-        feats = self.backbone.apply({"params": backbone}, dummy)
+        variables = self.backbone.init(kb, dummy)
+        backbone = variables["params"]
+        bvars = {"params": backbone}
+        mutable = False
+        if "batch_stats" in variables:      # bn_mode backbones
+            bvars["batch_stats"] = variables["batch_stats"]
+            mutable = ["batch_stats"]
+        feats = self.backbone.apply(bvars, dummy, mutable=mutable)
+        if mutable:
+            feats = feats[0]
         rpn_head = self.rpn_head.init(kr, feats)["params"]
         pooled = jnp.zeros((1, 256, 7, 7), jnp.float32)
         box_head = self.box_head.init(kh, pooled)["params"]

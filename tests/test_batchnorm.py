@@ -71,3 +71,24 @@ def test_set_num_batches_tracked():
     out = set_num_batches_tracked(stats, 16.0)
     assert float(out["layer"]["num_batches_tracked"]) == 16.0
     np.testing.assert_allclose(np.asarray(out["layer"]["mean"]), 0)
+
+
+def test_fpn_detector_init_with_bn_mode():
+    """FasterRCNN.init must thread the batch_stats collection through its
+    shape-probing backbone apply (regression: bn_mode models crashed with
+    ScopeCollectionNotFound on init)."""
+    from detectinblur_tpu.models.faster_rcnn import FasterRCNN, FasterRCNNConfig
+    from detectinblur_tpu.models.roi_heads import BoxHeadConfig
+    from detectinblur_tpu.models.rpn import RPNConfig
+
+    for mode in ("mode_one", "train"):
+        model = FasterRCNN(FasterRCNNConfig(
+            min_size=64, max_size=64, bn_mode=mode,
+            rpn=RPNConfig(pre_nms_top_n_train=64, post_nms_top_n_train=32,
+                          pre_nms_top_n_test=64, post_nms_top_n_test=32),
+            box=BoxHeadConfig(batch_size_per_image=16, nms_pool=64,
+                              detections_per_img=8)))
+        params = model.init(jax.random.key(0), bucket=(64, 64))
+        stats = model.init_stats((64, 64))
+        assert model.has_bn and stats is not None
+        assert "backbone" in params and "backbone" in stats
