@@ -275,7 +275,16 @@ def main(argv=None):
 
             bank = load_psf_bank(args.stored_psf_directory, max_bank=256)
         else:
+            # Rasterize at the ACTUAL sweep exposures (1/25, 1/10, ...):
+            # the reference generates eval PSFs at the exact fraction
+            # (evaluate.py:299-322 -> transforms.py:316-335), not at the
+            # nearest training fraction. BLUR_FRACTIONS and
+            # EVAL_FRACTIONS[1:] agree except E1 (1/18 vs 1/25) and are
+            # index-aligned, so BlurDecision's quantized indices (used for
+            # the measured-norm tables, matching transforms.py:423-435)
+            # address this bank correctly.
             bank = generate_psf_bank(jax.random.key(7), bank_size=256,
+                                     fractions=tuple(EVAL_FRACTIONS[1:]),
                                      center=not args.dont_center_psf)
         all_stats = {}
         for pi, param in enumerate(EVAL_PARAMS[1:], start=1):

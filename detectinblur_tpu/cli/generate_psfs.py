@@ -53,8 +53,10 @@ def main(argv=None):
                                       jnp.full((n,), fraction)), np.float16)
                 for j in range(n):
                     idx = start_idx + off + j
-                    np.save(os.path.join(folder, f"I{idx:06d}"), bank[j],
-                            allow_pickle=False)
+                    # Extensionless, like the reference (np.save on an open
+                    # handle, generate_PSFs.py:88-90) so banks interoperate.
+                    with open(os.path.join(folder, f"I{idx:06d}"), "wb") as f:
+                        np.save(f, bank[j], allow_pickle=False)
             print(f"P{pi}E{fi}: {per} PSFs in {time.perf_counter() - t0:.1f}s")
 
 

@@ -130,9 +130,12 @@ def load_psf_bank(
     max_bank: int = 2048,
 ) -> np.ndarray:
     """Load a stored PSF bank from the reference's on-disk layout
-    (--use_stored_psfs --stored_psf_directory): ``P{p}E{e}/I{idx:06d}.npy``
-    fp16 files (generate_PSFs.py:67-91), center-cropped 256 -> 128 exactly
-    as the BlurImage transform does (transforms.py:303-309). Returns
+    (--use_stored_psfs --stored_psf_directory): folders ``P{1-3}E{0-4}``
+    (generate_PSFs.py:69: ``"P"+str(paramIndex+1)+"E"+str(fractionIndex)``)
+    of fp16 ``I{idx:06d}`` files written extensionless via np.save on an
+    open handle (generate_PSFs.py:88-90); ``.npy``-suffixed files are
+    accepted too. PSFs are center-cropped 256 -> 128 exactly as the
+    BlurImage transform does (transforms.py:306-309). Returns
     [P, F, n, 128, 128] float32.
 
     ``bank_size=None`` autodetects the smallest per-folder count. The bank
@@ -145,15 +148,15 @@ def load_psf_bank(
         counts = []
         for pi in range(n_params):
             for fi in range(n_fractions):
-                folder = os.path.join(directory, f"P{pi + 1}E{fi + 1}")
+                folder = os.path.join(directory, f"P{pi + 1}E{fi}")
                 if not os.path.isdir(folder):
                     raise FileNotFoundError(
                         f"stored PSF bank folder missing: {folder}")
                 counts.append(sum(1 for f_ in os.listdir(folder)
-                                  if f_.endswith(".npy")))
+                                  if f_.startswith("I")))
         bank_size = min(counts)
         if bank_size == 0:
-            raise FileNotFoundError(f"no .npy PSFs under {directory}/P*E*")
+            raise FileNotFoundError(f"no PSF files under {directory}/P*E*")
     take = min(bank_size, max_bank)
     stride = max(1, bank_size // take)
     indices = list(range(0, stride * take, stride))[:take]
@@ -161,9 +164,11 @@ def load_psf_bank(
     out = np.zeros((n_params, n_fractions, take, 128, 128), np.float32)
     for pi in range(n_params):
         for fi in range(n_fractions):
-            folder = os.path.join(directory, f"P{pi + 1}E{fi + 1}")
+            folder = os.path.join(directory, f"P{pi + 1}E{fi}")
             for j, i in enumerate(indices):
-                path = os.path.join(folder, f"I{i:06d}.npy")
+                path = os.path.join(folder, f"I{i:06d}")
+                if not os.path.exists(path):
+                    path += ".npy"
                 if not os.path.exists(path):
                     raise FileNotFoundError(
                         f"stored PSF bank incomplete: {path} "

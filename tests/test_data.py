@@ -126,21 +126,26 @@ def test_loader_epoch_reshuffle(rng):
 
 
 def test_load_psf_bank_from_reference_layout(tmp_path):
-    """Stored-PSF loading (--use_stored_psfs --stored_psf_directory):
-    P{p}E{e}/I{idx:06d}.npy fp16 files, 256-canvas crops to central 128."""
+    """Stored-PSF loading (--use_stored_psfs --stored_psf_directory).
+
+    The reference writes folders P{1-3}E{0-4} (generate_PSFs.py:69:
+    "P"+str(paramIndex+1)+"E"+str(fractionIndex)) of extensionless fp16
+    I{idx:06d} files (np.save on an open handle, :88-90) and loads the same
+    layout (transforms.py:301); 256-canvas PSFs crop to the central 128."""
     import os
 
     from detectinblur_tpu.data.blur_sampling import load_psf_bank
 
     rng = np.random.default_rng(3)
     for p in range(1, 4):
-        for e in range(1, 6):
+        for e in range(0, 5):
             d = tmp_path / f"P{p}E{e}"
             os.makedirs(d)
             for i in range(2):
                 psf = np.zeros((256, 256), np.float16)
                 psf[120:136, 120:136] = rng.random((16, 16)).astype(np.float16)
-                np.save(d / f"I{i:06d}.npy", psf)
+                with open(d / f"I{i:06d}", "wb") as f:
+                    np.save(f, psf)
     bank = load_psf_bank(str(tmp_path), bank_size=2)
     assert bank.shape == (3, 5, 2, 128, 128)
     assert bank.dtype == np.float32
@@ -148,6 +153,48 @@ def test_load_psf_bank_from_reference_layout(tmp_path):
     assert bank[0, 0, 0].sum() > 0
     with pytest.raises(FileNotFoundError):
         load_psf_bank(str(tmp_path), bank_size=3)
+
+
+def test_generate_psfs_cli_roundtrip(tmp_path):
+    """cli/generate_psfs.py writes the reference bank layout and
+    load_psf_bank reads it back (round 1 shipped an E-index off-by-one
+    that broke both directions)."""
+    from detectinblur_tpu.cli.generate_psfs import main as gen_main
+    from detectinblur_tpu.data.blur_sampling import load_psf_bank
+
+    gen_main(["--output_path", str(tmp_path), "--num_psfs", "2",
+              "--canvas", "128", "--max_len", "48", "--crop", "0",
+              "--batch", "2"])
+    # Reference folder names present, extensionless files inside.
+    assert (tmp_path / "P1E0" / "I000000").exists()
+    assert (tmp_path / "P3E4" / "I000001").exists()
+    bank = load_psf_bank(str(tmp_path))
+    assert bank.shape == (3, 5, 2, 128, 128)
+    # Each PSF integrates to ~1 after the 64-canvas is placed in the
+    # 128 frame (sample_psf normalizes by iters; full exposure bins sum to 1,
+    # short exposures to ~fraction).
+    assert np.isfinite(bank).all() and (bank >= 0).all()
+    assert bank[2, 4].sum(axis=(-1, -2)).min() > 0.5
+
+
+def test_eval_bank_rasterizes_exact_sweep_exposure():
+    """The eval sweep must rasterize PSFs at the ACTUAL sweep fraction
+    (reference evaluate.py:299-322 -> transforms.py:316-335): the E1 cell
+    blurs at exposure 1/25, not the nearest training fraction 1/18. PSF
+    mass (pre-normalization) equals the exposure fraction, so the bank's
+    per-PSF sums pin the rasterized exposure."""
+    import jax
+
+    from detectinblur_tpu.data.blur_sampling import generate_psf_bank
+    from detectinblur_tpu.ops.psf import EVAL_FRACTIONS
+
+    bank = generate_psf_bank(jax.random.key(0), bank_size=4,
+                             params=(0.001,),
+                             fractions=(EVAL_FRACTIONS[1],), batch=4)
+    mass = np.asarray(bank[0, 0].sum(axis=(-1, -2)))
+    np.testing.assert_allclose(mass, 1 / 25, rtol=0.08)
+    # Clearly distinguishable from a training-fraction (1/18) bank.
+    assert np.all(np.abs(mass - 1 / 18) > np.abs(mass - 1 / 25))
 
 
 def test_get_coco_kp_targets(tmp_path):
