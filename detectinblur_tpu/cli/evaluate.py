@@ -118,7 +118,9 @@ def run_cell(args, model, params, dataset_val, policy, psf_bank,
 
     if ensemble is not None:
         # LEHE / 16-class estimator-gated specialist dispatch
-        # (engine.py:353-366) as one jitted graph per bucket.
+        # (engine.py:353-366) as one jitted graph per bucket, with the same
+        # blur/expand/deblur/corruption chain as the single-model path
+        # (engine.py:319-342 still applies under --use_ensemble).
         from detectinblur_tpu.models.ensemble import make_ensemble_predict
 
         stacked, estimator, est_vars, lehe = ensemble
@@ -127,9 +129,18 @@ def run_cell(args, model, params, dataset_val, policy, psf_bank,
             b = batch.images.shape[1:3]
             if b not in eval_steps:
                 eval_steps[b] = make_ensemble_predict(
-                    model, model_bucket_for(b), estimator, lehe=lehe)
-            dets, _idx = eval_steps[b](stacked, est_vars, batch)
-            return dets, batch.gt_boxes
+                    model, model_bucket_for(b), estimator, lehe=lehe,
+                    blur_eval=blur,
+                    expand_target_boxes=args.expand_target_boxes and blur,
+                    use_warp=args.warp_in_model,
+                    use_custom_norm=args.use_custom_image_norm,
+                    deblur_vars=deblur_vars,
+                    add_noise=args.add_noise, noise_level=args.noise_level,
+                    add_block=args.add_block,
+                    add_jpeg=args.add_jpeg_artefacts,
+                    dilate_psf=args.dilate_psf)
+            dets, gt, _idx = eval_steps[b](stacked, est_vars, batch)
+            return dets, gt
     else:
         def eval_step(p, batch):
             b = batch.images.shape[1:3]

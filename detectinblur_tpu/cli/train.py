@@ -197,14 +197,18 @@ def main(argv=None):
         return steps[bucket]
 
     def run_eval(epoch):
-        """Clean + blurred post-epoch eval (train.py:346-387)."""
+        """Clean + blurred post-epoch eval (train.py:346-387). The blurred
+        val set blurs EVERY image (blur_ratio=1, train.py:172-181), not at
+        the training regime probability."""
+        from dataclasses import replace
+
         coco_gt = dataset_val.index
         for tag, blur in (("Normal", False), ("Blurred", True)):
             if blur and not args.blur_train:
                 continue
             val_loader = DetectionLoader(
                 dataset_val, 1,
-                policy if blur else BlurPolicy(prob=0.0),
+                replace(policy, prob=1.0) if blur else BlurPolicy(prob=0.0),
                 psf_bank if blur else None,
                 shuffle=False, num_processes=jax.process_count(),
                 process_index=jax.process_index(), drop_last=False,

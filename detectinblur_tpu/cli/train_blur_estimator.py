@@ -71,8 +71,17 @@ def main(argv=None):
     policy = BlurPolicy(prob=0.9, lehe_blur_seg=args.LEHE_blur_seg)
     bank = generate_psf_bank(jax.random.key(7), bank_size=512)
 
-    dataset = get_coco(args.data_path, "train")
-    dataset_val = get_coco(args.data_path, "val")
+    if args.dataset == "GOPROBlurEst":
+        # Natural-blur estimator data: pre-blurred images with stored class
+        # labels (custom_datasets.py:1074-1231); the blur stage passes them
+        # through and labels come from blur_est_label.
+        from detectinblur_tpu.data.natural_datasets import GOPROBlurEst
+
+        dataset = GOPROBlurEst(args.data_path, "train")
+        dataset_val = GOPROBlurEst(args.data_path, "val")
+    else:
+        dataset = get_coco(args.data_path, "train")
+        dataset_val = get_coco(args.data_path, "val")
     loader = DetectionLoader(dataset, args.batch_size, policy, bank,
                              shuffle=True, hflip_prob=0.5,
                              num_processes=jax.process_count(),
@@ -125,6 +134,8 @@ def main(argv=None):
                             add_noise=args.add_noise, noise_level=args.noise_level,
                             add_block=args.add_block, add_jpeg=args.add_jpeg_artefacts,
                             quantize=args.quantize_image,
+                            resize_images=args.resize_images,
+                            crop_images=args.crop_images,
                         )
                     key = jax.random.fold_in(jax.random.key(3), int(state.step))
                     state, stats, metrics = steps[bucket](state, stats, batch, key)
@@ -145,7 +156,9 @@ def main(argv=None):
         for it, (batch, bucket, _) in enumerate(val_loader):
             if bucket not in eval_steps:
                 eval_steps[bucket] = make_estimator_eval_step(
-                    classifier, model_bucket_for(bucket), lehe=lehe)
+                    classifier, model_bucket_for(bucket), lehe=lehe,
+                    resize_images=args.resize_images,
+                    crop_images=args.crop_images)
             out = eval_steps[bucket](
                 {"params": state.params, "batch_stats": stats}, batch,
                 jax.random.key(0))

@@ -9,7 +9,9 @@ Host-side (numpy/PIL), matching the reference semantics
   * non-positional ops: autocontrast, equalize, posterize, solarize;
   * positional ops (when enabled): rotate, shear_x/y, translate_x/y — these
     also transform target boxes (corner-walk -> AABB) when
-    ``modify_target_boxes``; chain targets merge by per-box min/max union;
+    ``modify_target_boxes``, and warp instance masks with the same affine
+    (the capability of transforms.py:135-171 warpMasksAndTarget); chain
+    targets merge by per-box min/max union (masks by pointwise max);
   * severity U[1,10] (positional severity U[1,4]) when unset; positional
     magnitudes: rotate <=30deg, shear <=0.3, translate <= side/3, all with
     random sign.
@@ -85,7 +87,24 @@ def _apply_affine(img, pil_coeffs):
     return img.transform(img.size, Image.AFFINE, pil_coeffs, resample=Image.BILINEAR)
 
 
-def _rotate(img, rng, level, boxes):
+def _warp_masks(masks, pil_coeffs=None, rotate_deg=None):
+    """Warp float [N, H, W] masks with the image's affine (bilinear, like
+    warpMasksAndTarget's INTER_LINEAR, transforms.py:135-171)."""
+    if masks is None or len(masks) == 0:
+        return masks
+    out = np.empty_like(masks, dtype=np.float32)
+    for i, m in enumerate(np.asarray(masks, np.float32)):
+        pil = Image.fromarray(m, mode="F")
+        if rotate_deg is not None:
+            pil = pil.rotate(rotate_deg, resample=Image.BILINEAR)
+        else:
+            pil = pil.transform(pil.size, Image.AFFINE, pil_coeffs,
+                                resample=Image.BILINEAR)
+        out[i] = np.asarray(pil, np.float32)
+    return out
+
+
+def _rotate(img, rng, level, boxes, masks):
     deg = _int_param(_sample_level(rng, level), 30)
     if rng.uniform() > 0.5:
         deg = -deg
@@ -96,43 +115,52 @@ def _rotate(img, rng, level, boxes):
     c, s = np.cos(rad), np.sin(rad)
     fwd = np.array([[c, -s, cx - c * cx + s * cy],
                     [s, c, cy - s * cx - c * cy]])
-    return out, _transform_boxes(boxes, fwd, img.size)
+    return (out, _transform_boxes(boxes, fwd, img.size),
+            _warp_masks(masks, rotate_deg=deg))
 
 
-def _shear_x(img, rng, level, boxes):
+def _shear_x(img, rng, level, boxes, masks):
     v = _float_param(_sample_level(rng, level), 0.3)
     if rng.uniform() > 0.5:
         v = -v
-    out = _apply_affine(img, (1, v, 0, 0, 1, 0))
+    coeffs = (1, v, 0, 0, 1, 0)
+    out = _apply_affine(img, coeffs)
     fwd = np.array([[1.0, -v, 0.0], [0.0, 1.0, 0.0]])
-    return out, _transform_boxes(boxes, fwd, img.size)
+    return (out, _transform_boxes(boxes, fwd, img.size),
+            _warp_masks(masks, coeffs))
 
 
-def _shear_y(img, rng, level, boxes):
+def _shear_y(img, rng, level, boxes, masks):
     v = _float_param(_sample_level(rng, level), 0.3)
     if rng.uniform() > 0.5:
         v = -v
-    out = _apply_affine(img, (1, 0, 0, v, 1, 0))
+    coeffs = (1, 0, 0, v, 1, 0)
+    out = _apply_affine(img, coeffs)
     fwd = np.array([[1.0, 0.0, 0.0], [-v, 1.0, 0.0]])
-    return out, _transform_boxes(boxes, fwd, img.size)
+    return (out, _transform_boxes(boxes, fwd, img.size),
+            _warp_masks(masks, coeffs))
 
 
-def _translate_x(img, rng, level, boxes):
+def _translate_x(img, rng, level, boxes, masks):
     v = _int_param(_sample_level(rng, level), img.size[0] / 3)
     if rng.uniform() > 0.5:
         v = -v
-    out = _apply_affine(img, (1, 0, v, 0, 1, 0))
+    coeffs = (1, 0, v, 0, 1, 0)
+    out = _apply_affine(img, coeffs)
     fwd = np.array([[1.0, 0.0, -v], [0.0, 1.0, 0.0]])
-    return out, _transform_boxes(boxes, fwd, img.size)
+    return (out, _transform_boxes(boxes, fwd, img.size),
+            _warp_masks(masks, coeffs))
 
 
-def _translate_y(img, rng, level, boxes):
+def _translate_y(img, rng, level, boxes, masks):
     v = _int_param(_sample_level(rng, level), img.size[1] / 3)
     if rng.uniform() > 0.5:
         v = -v
-    out = _apply_affine(img, (1, 0, 0, 0, 1, v))
+    coeffs = (1, 0, 0, 0, 1, v)
+    out = _apply_affine(img, coeffs)
     fwd = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, -v]])
-    return out, _transform_boxes(boxes, fwd, img.size)
+    return (out, _transform_boxes(boxes, fwd, img.size),
+            _warp_masks(masks, coeffs))
 
 
 POS_OPS = [_rotate, _shear_x, _shear_y, _translate_x, _translate_y]
@@ -167,8 +195,10 @@ def augment_and_mix(
     alpha: float = 1.0,
     positional: bool = False,
     modify_target_boxes: bool = False,
+    masks: np.ndarray | None = None,
 ):
-    """image01 [H, W, 3] float 0..1. Returns (mixed01, boxes')."""
+    """image01 [H, W, 3] float 0..1, masks [N, H, W] float 0/1 or None.
+    Returns (mixed01, boxes', masks')."""
     ws = rng.dirichlet([alpha] * width).astype(np.float32)
     m = np.float32(rng.beta(alpha, alpha))
     if severity == -1:
@@ -179,23 +209,32 @@ def augment_and_mix(
 
     mix = np.zeros_like(image01)
     boxes_mix = None
+    masks_mix = None
     ops = (NON_POS_OPS + POS_OPS) if positional else NON_POS_OPS
     for i in range(width):
         img = Image.fromarray((image01 * 255).astype(np.uint8))
         b = boxes.copy() if boxes is not None else None
+        mk = (np.asarray(masks, np.float32).copy()
+              if (masks is not None and modify_target_boxes) else None)
         d = depth if depth > 0 else int(rng.integers(1, 4))
         for _ in range(d):
             op = ops[rng.integers(0, len(ops))]
             if op in NON_POS_OPS:
                 img = op(img, rng, sev)
             else:
-                img, nb = op(img, rng, pos_sev, b if modify_target_boxes else None)
+                img, nb, nm = op(img, rng, pos_sev,
+                                 b if modify_target_boxes else None, mk)
                 if modify_target_boxes and nb is not None:
                     b = nb
+                if nm is not None:
+                    mk = nm
         mix += ws[i] * _normalize(np.asarray(img, np.float32) / 255.0)
         boxes_mix = _union_boxes(boxes_mix, b) if modify_target_boxes else boxes
+        if mk is not None:
+            masks_mix = mk if masks_mix is None else np.maximum(masks_mix, mk)
 
     mixed = (1 - m) * _normalize(image01) + m * mix
     mixed01 = np.clip(_denormalize(mixed), 0.0, 1.0)
     out_boxes = boxes_mix if modify_target_boxes else boxes
-    return mixed01.astype(np.float32), out_boxes
+    out_masks = masks_mix if masks_mix is not None else masks
+    return mixed01.astype(np.float32), out_boxes, out_masks

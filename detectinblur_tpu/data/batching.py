@@ -74,8 +74,10 @@ def build_blur_batch(
     gt_boxes = np.zeros((B, max_gt, 4), np.float32)
     gt_labels = np.zeros((B, max_gt), np.int32)
     gt_valid = np.zeros((B, max_gt), bool)
+    est_label = np.full(B, -1, np.int32)
 
     for i, (item, dec) in enumerate(zip(items, decisions)):
+        est_label[i] = item.get("blur_est_label", -1)
         img = item["image"]
         h, w = img.shape[:2]
         assert h <= Hb and w <= Wb, (h, w, source_bucket)
@@ -107,4 +109,5 @@ def build_blur_batch(
         gt_boxes=jnp.asarray(gt_boxes),
         gt_labels=jnp.asarray(gt_labels),
         gt_valid=jnp.asarray(gt_valid),
+        est_label=jnp.asarray(est_label),
     )

@@ -93,17 +93,37 @@ class DetectionLoader:
                 if self.augmix is not None:
                     from detectinblur_tpu.data.augmix import augment_and_mix
 
-                    mixed, boxes = augment_and_mix(
-                        item["image"], rng, boxes=item["boxes"], **self.augmix)
+                    mixed, boxes, masks = augment_and_mix(
+                        item["image"], rng, boxes=item["boxes"],
+                        masks=item.get("masks"), **self.augmix)
                     item = dict(item, image=mixed,
                                 boxes=boxes if boxes is not None else item["boxes"])
+                    if masks is not None:
+                        item["masks"] = masks
                 if self.hflip_prob > 0 and rng.random() < self.hflip_prob:
                     item = hflip_item(item)
                 h, w = item["image"].shape[:2]
                 bucket = pick_bucket(h, w, self.buckets)
-                # Oversized images are center-cropped to the largest bucket.
+                # Oversized images are top-left-cropped to the largest
+                # bucket; GT boxes are clipped to the crop and boxes left
+                # degenerate by it are dropped.
                 if h > bucket[0] or w > bucket[1]:
                     item = dict(item, image=item["image"][: bucket[0], : bucket[1]])
+                    if len(item["boxes"]):
+                        boxes = item["boxes"].copy()
+                        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, bucket[1])
+                        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, bucket[0])
+                        keep = ((boxes[:, 2] > boxes[:, 0])
+                                & (boxes[:, 3] > boxes[:, 1]))
+                        item["boxes"] = boxes[keep]
+                        for k in ("labels", "area", "iscrowd"):
+                            if k in item:
+                                item[k] = item[k][keep]
+                        if "masks" in item:
+                            item["masks"] = item["masks"][keep, : bucket[0],
+                                                          : bucket[1]]
+                    elif "masks" in item:
+                        item["masks"] = item["masks"][:, : bucket[0], : bucket[1]]
                 if item.get("pre_blurred"):
                     # Natural-blur images pass through the blur stage
                     # untouched (transforms.py:225-235).

@@ -281,33 +281,38 @@ class GOPROSynthLoad:
 
 class GOPROBlurEst:
     """Blur-estimator classification split over rendered GOPRO images
-    (custom_datasets.py:1074-1231): trainSplit.txt/valSplit.txt lines of
-    "imagePath,annPath"; label 0 for sharp, else the blur-class label
-    stored with the image (blur/auxBlur directories => LEHE class by blur
-    strength). Class rebalancing drops surplus items at random."""
+    (custom_datasets.py:1074-1231). The split file
+    (trainSplit.txt/valSplit.txt, written by segment_GOPRO.py:65-82) holds
+    "imagePath,blurLabel" lines with the class label STORED per image
+    (4 classes); the annotation path is the image path with .png -> .dat
+    (a pickled target dict, :1115-1119). Train-split rebalancing drops
+    label-0 lines w.p. 0.65 and label-1 lines w.p. 0.1 (:1121-1126).
+    Items carry the stored label as ``blur_est_label`` and pass through the
+    blur stage untouched (preBlurred, :1168-1178)."""
 
-    def __init__(self, root_dir: str, split: str = "train", rebalance=True,
-                 seed: int = 1337):
-        list_file = os.path.join(root_dir,
-                                 "trainSplit.txt" if split == "train"
-                                 else "valSplit.txt")
+    def __init__(self, root_dir: str, split: str = "train", seed: int = 1337):
+        self.train = "train" in split
+        list_file = os.path.join(
+            root_dir, "trainSplit.txt" if self.train else "valSplit.txt")
         with open(list_file) as f:
-            pairs = [line.strip().split(",") for line in f if line.strip()]
+            lines = [ln.strip() for ln in f if ln.strip()]
+        rng = np.random.default_rng(seed)
         items = []
-        for img, ann in pairs:
-            label = 0 if "sharp" in img else (2 if "auxBlur" in img else 1)
-            items.append((img, ann, label))
-        if rebalance:
-            rng = np.random.default_rng(seed)
-            by_label = {}
-            for it in items:
-                by_label.setdefault(it[2], []).append(it)
-            n_min = min(len(v) for v in by_label.values())
-            items = []
-            for v in by_label.values():
-                idx = rng.permutation(len(v))[:n_min]
-                items += [v[i] for i in idx]
+        label_lists = {c: [] for c in range(4)}
+        for ln in lines:
+            img_path, label_s = ln.rsplit(",", 1)
+            label = int(label_s)
+            if self.train:
+                if label == 0 and rng.random() < 0.65:
+                    continue
+                if label == 1 and rng.random() < 0.1:
+                    continue
+            items.append((img_path, img_path.replace(".png", ".dat"), label))
+            label_lists[label].append(img_path)
         self.items = items
+        self.class_counts = [len(label_lists[c]) for c in range(4)]
+        total = max(sum(self.class_counts), 1)
+        self.class_ratios = np.asarray(self.class_counts, np.float64) / total
 
     def __len__(self):
         return len(self.items)
@@ -318,14 +323,22 @@ class GOPROBlurEst:
         img_path, ann_path, label = self.items[idx]
         with Image.open(img_path) as im:
             image = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        with open(ann_path, "rb") as f:
+            t = pickle.load(f)
+        boxes = np.asarray(t["boxes"], np.float32).reshape(-1, 4)
+        labels = np.asarray(t["labels"], np.int32)
+        blurred_path = "blur" in img_path or "Blur" in img_path
         return {
             "image": image,
             "image_id": idx,
-            "boxes": np.zeros((0, 4), np.float32),
-            "labels": np.zeros(0, np.int32),
-            "area": np.zeros(0, np.float32),
-            "iscrowd": np.zeros(0, np.int32),
+            "boxes": boxes,
+            "labels": labels,
+            "area": np.asarray(
+                t.get("area", (boxes[:, 2] - boxes[:, 0])
+                      * (boxes[:, 3] - boxes[:, 1])), np.float32),
+            "iscrowd": np.zeros(len(labels), np.int32),
             "pre_blurred": True,
+            "window_size": int(t.get("windowSize", 0)) if blurred_path else 0,
             "blur_est_label": label,
         }
 
@@ -334,5 +347,5 @@ def get_natural_dataset(name: str, root_dir: str, **kw):
     """evaluate.py --blurred_dataset dispatch."""
     table = {"GOPRO": GOPRO, "VidBlur": VidBlur, "RealBlur": RealBlur,
              "REDS": REDS, "GOPROSynth": GOPROSynth,
-             "GOPROSynthLoad": GOPROSynthLoad}
+             "GOPROSynthLoad": GOPROSynthLoad, "GOPROBlurEst": GOPROBlurEst}
     return table[name](root_dir, **kw)

@@ -41,14 +41,20 @@ def estimator_label(blurring, param_index, fraction_index) -> jax.Array:
     return jnp.where(on, lab, 0).astype(jnp.int32)
 
 
-def estimator_label_lehe(blurring, param_index, fraction_index) -> jax.Array:
+def estimator_label_lehe(blurring, param_index, fraction_index,
+                         est_label=None) -> jax.Array:
     """LEHE 4-class label: 0 = none/low-exposure, 1..3 = P{1..3} high
     exposure (engine_blur_estimator.py:107-129): high exposure means
-    fraction_index in {3, 4}."""
+    fraction_index in {3, 4}. A stored per-item label (natural-blur
+    estimator data, blur_dict["blur_est_label"]) wins over the derived one
+    (engine_blur_estimator.py:111-112); pass -1 / None for "not stored"."""
     high = fraction_index >= 3
     lab = param_index + 1
     on = blurring & (param_index >= 0) & high
-    return jnp.where(on, lab, 0).astype(jnp.int32)
+    lab = jnp.where(on, lab, 0)
+    if est_label is not None:
+        lab = jnp.where(est_label >= 0, est_label, lab)
+    return lab.astype(jnp.int32)
 
 
 def estimator_to_model_index_16(pred_class: jax.Array) -> jax.Array:

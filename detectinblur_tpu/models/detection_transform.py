@@ -20,19 +20,13 @@ instead of one per image shape.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
-
-
-class TransformConfig(NamedTuple):
-    min_size: int = 800
-    max_size: int = 1333
-    normalize: bool = True
 
 
 def resize_scale(h: jax.Array, w: jax.Array, min_size: int, max_size: int) -> jax.Array:
@@ -46,22 +40,16 @@ def resize_scale(h: jax.Array, w: jax.Array, min_size: int, max_size: int) -> ja
     return scale
 
 
-def resize_into_bucket(
+def resize_valid(
     image: jax.Array,        # [Hb0, Wb0, C] valid region at top-left
     hw: jax.Array,           # (h, w) valid size
-    scale: jax.Array,        # scalar
+    new_hw: jax.Array,       # (new_h, new_w) target valid size
     out_shape: Tuple[int, int],
-) -> Tuple[jax.Array, jax.Array]:
-    """Resize the valid region by ``scale`` into a zero-padded static bucket.
-
-    Returns (bucketed image [Ho, Wo, C], new valid size [2]).
-    Uses half-pixel (align_corners=False) bilinear like torch interpolate
-    with recompute_scale_factor semantics: output size = floor(size*scale),
-    then the *effective* scale is out/in per axis.
-    """
+) -> jax.Array:
+    """Resize the valid [h, w] region to exactly [new_h, new_w] inside a
+    zero-padded static [Ho, Wo] bucket (half-pixel bilinear)."""
     Ho, Wo = out_shape
-    new_h = jnp.minimum(jnp.floor(hw[0] * scale).astype(jnp.int32), Ho)
-    new_w = jnp.minimum(jnp.floor(hw[1] * scale).astype(jnp.int32), Wo)
+    new_h, new_w = new_hw[0], new_hw[1]
 
     # Upscaling samples up to one pixel beyond the valid region; torch
     # clamps to the image edge, the bucket holds zeros there. Replicate the
@@ -89,8 +77,27 @@ def resize_into_bucket(
     ys = jnp.arange(Ho)[:, None, None]
     xs = jnp.arange(Wo)[None, :, None]
     mask = (ys < new_h) & (xs < new_w)
-    out = jnp.where(mask, out, 0.0)
-    return out, jnp.stack([new_h, new_w])
+    return jnp.where(mask, out, 0.0)
+
+
+def resize_into_bucket(
+    image: jax.Array,        # [Hb0, Wb0, C] valid region at top-left
+    hw: jax.Array,           # (h, w) valid size
+    scale: jax.Array,        # scalar
+    out_shape: Tuple[int, int],
+) -> Tuple[jax.Array, jax.Array]:
+    """Resize the valid region by ``scale`` into a zero-padded static bucket.
+
+    Returns (bucketed image [Ho, Wo, C], new valid size [2]).
+    Uses half-pixel (align_corners=False) bilinear like torch interpolate
+    with recompute_scale_factor semantics: output size = floor(size*scale),
+    then the *effective* scale is out/in per axis.
+    """
+    Ho, Wo = out_shape
+    new_h = jnp.minimum(jnp.floor(hw[0] * scale).astype(jnp.int32), Ho)
+    new_w = jnp.minimum(jnp.floor(hw[1] * scale).astype(jnp.int32), Wo)
+    new_hw = jnp.stack([new_h, new_w])
+    return resize_valid(image, hw, new_hw, out_shape), new_hw
 
 
 def normalize_image(image: jax.Array, mean=None, std=None) -> jax.Array:
@@ -107,7 +114,8 @@ def resize_boxes(boxes: jax.Array, orig_hw: jax.Array, new_hw: jax.Array) -> jax
     return jnp.stack([x1 * rx, y1 * ry, x2 * rx, y2 * ry], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("out_shape", "min_size", "max_size"))
+@functools.partial(jax.jit, static_argnames=(
+    "out_shape", "min_size", "max_size", "normalize", "crop_images"))
 def preprocess_batch(
     images: jax.Array,      # [B, Hb0, Wb0, 3] raw 0..1, valid at top-left
     hw: jax.Array,          # [B, 2]
@@ -116,10 +124,20 @@ def preprocess_batch(
     stds: jax.Array | None = None,
     min_size: int = 800,
     max_size: int = 1333,
+    normalize: bool = True,
+    crop_images: bool = False,
 ):
     """Batched normalize+resize into the model bucket.
 
-    Returns (batched [B, Ho, Wo, 3], new_hw [B, 2], scales [B]).
+    ``normalize=False`` skips mean/std normalization (the reference's
+    ``normalize_images`` constructor toggle, net_transforms.py:70-80,
+    112-118). ``crop_images=True`` batches by cropping every image to the
+    smallest resized extent floored to /32 instead of padding to the largest
+    (net_transforms.py:218-247): under static bucket shapes that means the
+    content beyond the common extent is zeroed and every image reports the
+    same valid size.
+
+    Returns (batched [B, Ho, Wo, 3], new_hw [B, 2]).
     """
     B = images.shape[0]
     if means is None:
@@ -127,12 +145,20 @@ def preprocess_batch(
         stds = jnp.tile(jnp.asarray(IMAGENET_STD, jnp.float32)[None], (B, 1))
 
     def one(img, s, m, sd):
-        img = normalize_image(img, m, sd)
+        if normalize:
+            img = normalize_image(img, m, sd)
         sc = resize_scale(s[0], s[1], min_size, max_size)
         out, new_hw = resize_into_bucket(img, s, sc, out_shape)
         return out, new_hw
 
     out, new_hw = jax.vmap(one)(images, hw, means, stds)
+    if crop_images:
+        mh = (jnp.min(new_hw[:, 0]) // 32) * 32
+        mw = (jnp.min(new_hw[:, 1]) // 32) * 32
+        ys = jnp.arange(out.shape[1])[None, :, None, None]
+        xs = jnp.arange(out.shape[2])[None, None, :, None]
+        out = jnp.where((ys < mh) & (xs < mw), out, 0.0)
+        new_hw = jnp.tile(jnp.stack([mh, mw])[None], (B, 1))
     return out, new_hw
 
 

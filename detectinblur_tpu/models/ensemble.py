@@ -39,23 +39,63 @@ def make_ensemble_predict(
     bucket,
     estimator: Optional[ResNetClassifier] = None,
     lehe: bool = True,
+    blur_eval: bool = True,
+    expand_target_boxes: bool = False,
+    use_warp: bool = False,
+    use_custom_norm: bool = False,
+    deblur_vars=None,
+    add_noise: bool = False,
+    noise_level: float = 0.001,
+    add_block: bool = False,
+    add_jpeg: bool = False,
+    dilate_psf: bool = False,
 ):
-    """Returns a jitted fn(stacked_params, estimator_vars, batch) that
-    (1) classifies blur with the estimator (resnet18 on the blurred image,
+    """Returns a jitted fn(stacked_params, estimator_vars, batch[, key]) ->
+    (Detections, expanded_gt, model_index).
+
+    (1) blurs/expands/corrupts exactly like the single-model eval step —
+    under --use_ensemble the reference still applies expanded-GT rewrite,
+    deblur-first, corruptions and PSF dilation (engine.py:319-342,353-366);
+    (2) classifies blur with the estimator (resnet18 on the blurred image,
     resized into the model bucket), or uses the oracle when estimator is
-    None; (2) runs the selected specialist. Eval protocol is batch 1
+    None; (3) runs the selected specialist. Eval protocol is batch 1
     (evaluate.py uses batch_size=1), so one gather per step."""
     from detectinblur_tpu.models.detection_transform import preprocess_batch
-    from detectinblur_tpu.train.engine import apply_blur_and_expand
+    from detectinblur_tpu.train.engine import (
+        _blur_norms,
+        apply_blur_and_expand,
+        derive_warp_params,
+    )
 
-    def predict(stacked_params, estimator_vars, batch):
-        batch = apply_blur_and_expand(batch, expand_target_boxes=False)
+    def predict(stacked_params, estimator_vars, batch, key=None):
+        if key is None:
+            key = jax.random.key(0)
+        key, bkey, dkey = jax.random.split(key, 3)
+        if blur_eval:
+            sigma = (jax.random.uniform(dkey, (batch.images.shape[0],),
+                                        minval=0.0, maxval=3.0)
+                     if dilate_psf else None)
+            batch = apply_blur_and_expand(
+                batch, expand_target_boxes, key=bkey, add_noise=add_noise,
+                noise_level=noise_level, add_block=add_block,
+                add_jpeg=add_jpeg, dilate_psf_sigma=sigma)
+        if deblur_vars is not None:
+            from detectinblur_tpu.models.deblur import deblur_image
+
+            deblurred = jax.vmap(lambda im: deblur_image(deblur_vars, im))(
+                batch.images)
+            batch = batch._replace(images=deblurred)
+        if use_warp:
+            batch = derive_warp_params(batch)
         if estimator is None:
             idx = model_index_oracle(
                 batch.blurring, batch.param_index, batch.fraction_index
             )[0]
         else:
-            imgs, _ = preprocess_batch(batch.images, batch.hw, bucket)
+            # The reference batches the estimator input with
+            # crop_images=True (engine.py:264).
+            imgs, _ = preprocess_batch(batch.images, batch.hw, bucket,
+                                       crop_images=True)
             logits = estimator.apply(estimator_vars, imgs)
             pred = jnp.argmax(logits, axis=-1)
             if lehe:
@@ -63,7 +103,14 @@ def make_ensemble_predict(
             else:
                 idx = estimator_to_model_index_16(pred[0])
         params = select_params(stacked_params, idx)
-        dets = model.predict(params, batch.images, batch.hw, bucket=bucket)
-        return dets, idx
+        means, stds = _blur_norms(batch, use_custom_norm)
+        dets = model.predict(
+            params, batch.images, batch.hw, bucket=bucket,
+            means=means, stds=stds,
+            thetas=batch.thetas if use_warp else None,
+            lam1s=batch.lam1s if use_warp else None,
+            lam2s=batch.lam2s if use_warp else None,
+        )
+        return dets, batch.gt_boxes, idx
 
     return jax.jit(predict)

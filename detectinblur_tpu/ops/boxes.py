@@ -162,3 +162,23 @@ def expand_boxes_by_psf(
     )
     expanded = fix_box_squeeze(expanded, height, width)
     return jnp.where(blurring, expanded, boxes)
+
+
+def update_boxes_from_masks(boxes, masks, threshold: float = 0.1):
+    """Recompute each box as the extents of its mask's >threshold support
+    (utils.py:436-458). Empty masks keep their original box. Fixed-shape:
+    boxes [N, 4], masks [N, H, W]; index extents via masked min/max, so it
+    jits (no data-dependent nonzero)."""
+    masks = jnp.asarray(masks)
+    boxes = jnp.asarray(boxes)
+    on = masks > threshold
+    ys = jax.lax.broadcasted_iota(jnp.float32, masks.shape, 1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, masks.shape, 2)
+    big = jnp.float32(1e9)
+    min_x = jnp.min(jnp.where(on, xs, big), axis=(1, 2))
+    max_x = jnp.max(jnp.where(on, xs, -big), axis=(1, 2))
+    min_y = jnp.min(jnp.where(on, ys, big), axis=(1, 2))
+    max_y = jnp.max(jnp.where(on, ys, -big), axis=(1, 2))
+    new = jnp.stack([min_x, min_y, max_x, max_y], axis=-1)
+    empty = ~jnp.any(on, axis=(1, 2))
+    return jnp.where(empty[:, None], boxes, new)

@@ -40,12 +40,15 @@ class BlurBatch(NamedTuple):
     gt_boxes: jax.Array      # [B, G, 4]
     gt_labels: jax.Array     # [B, G]
     gt_valid: jax.Array      # [B, G]
+    # Stored estimator class label (blur_dict["blur_est_label"],
+    # custom_datasets.py:1170); -1 / None = derive from the blur struct.
+    est_label: jax.Array = None
 
 
 def apply_blur_and_expand(
     batch: BlurBatch,
     expand_target_boxes: bool,
-    exact_blur: bool = False,
+    exact_blur: Optional[bool] = None,
     key: Optional[jax.Array] = None,
     add_noise: bool = False,
     noise_level: float = 0.001,
@@ -55,7 +58,17 @@ def apply_blur_and_expand(
 ) -> BlurBatch:
     """Device-side GPU-blur + expand_targets (engine.py:101-105), with the
     optional corruption chain of manual_blur (blur_functions.py:72-88) and
-    PSF defocus dilation for eval (--dilate_psf)."""
+    PSF defocus dilation for eval (--dilate_psf).
+
+    ``exact_blur=None`` follows the precision config: the parity
+    configuration (DETECTINBLUR_PRECISION=highest, the default) uses the
+    bit-matched circular convolution at the exact padded size; throughput
+    mode (bench.py sets "default") keeps the smooth-size FFT / MXU-DFT
+    path (ops/blur.py:51-90)."""
+    if exact_blur is None:
+        from detectinblur_tpu.models.resnet import CONV_PRECISION
+
+        exact_blur = CONV_PRECISION == jax.lax.Precision.HIGHEST
     psfs = batch.psfs
     if dilate_psf_sigma is not None:
         from detectinblur_tpu.ops.psf import dilate_psf

@@ -20,7 +20,11 @@ from detectinblur_tpu.models.classifier import (
     estimator_label,
     estimator_label_lehe,
 )
-from detectinblur_tpu.models.detection_transform import preprocess_batch
+from detectinblur_tpu.models.detection_transform import (
+    preprocess_batch,
+    resize_into_bucket,
+    resize_valid,
+)
 from detectinblur_tpu.ops.blur import batched_blur
 from detectinblur_tpu.ops.jpeg import jpeg_compress_decompress
 from detectinblur_tpu.train.engine import BlurBatch
@@ -56,6 +60,46 @@ def apply_corruptions(key, images, add_noise=False, noise_level=0.001,
     return images
 
 
+def blur_batch_images(batch: BlurBatch, resize_images: bool = False) -> jax.Array:
+    """Device blur of the batch, optionally at min-side-800 resolution.
+
+    ``resize_images=True`` is the estimator's own manual_blur variant
+    (engine_blur_estimator.py:27-70): resize so the short side is 800, blur
+    there (the 128^2 PSF then covers a consistent fraction of the scene),
+    and return the image at its original size. The reference's tail at
+    :62-69 crops the top-left original-size window of the *upscaled* image
+    and then runs a same-size interpolate — a no-op crop bug we do not
+    reproduce; the intended round trip is resize -> blur -> resize back.
+    Non-blurring images skip the round trip entirely (blur_image_list
+    :72-80 never touches them).
+    """
+    if not resize_images:
+        chw = jnp.transpose(batch.images, (0, 3, 1, 2))
+        blurred = batched_blur(chw, batch.psfs, batch.blurring)
+        return jnp.transpose(blurred, (0, 2, 3, 1))
+
+    Hb, Wb = batch.images.shape[1:3]
+    rs = 800.0 / min(Hb, Wb)
+    RH = -(-int(round(Hb * rs)) // 32) * 32
+    RW = -(-int(round(Wb * rs)) // 32) * 32
+
+    def up(img, s):
+        h = s[0].astype(jnp.float32)
+        w = s[1].astype(jnp.float32)
+        sc = jnp.minimum(800.0 / jnp.minimum(h, w),
+                         jnp.minimum(RH / h, RW / w))
+        return resize_into_bucket(img, s, sc, (RH, RW))
+
+    big, big_hw = jax.vmap(up)(batch.images, batch.hw)
+    chw = jnp.transpose(big, (0, 3, 1, 2))
+    blurred = batched_blur(chw, batch.psfs, batch.blurring)
+    big = jnp.transpose(blurred, (0, 2, 3, 1))
+    down = jax.vmap(lambda img, bs, s: resize_valid(img, bs, s, (Hb, Wb)))
+    out = down(big, big_hw, batch.hw)
+    keep = batch.blurring[:, None, None, None]
+    return jnp.where(keep, out, batch.images)
+
+
 def make_estimator_train_step(
     classifier: ResNetClassifier,
     tx: optax.GradientTransformation,
@@ -67,18 +111,23 @@ def make_estimator_train_step(
     add_block: bool = False,
     add_jpeg: bool = False,
     quantize: bool = False,
+    resize_images: bool = False,
+    crop_images: bool = False,
 ):
     label_fn = estimator_label_lehe if lehe else estimator_label
 
     def step(state: TrainState, stats, batch: BlurBatch, key: jax.Array):
         kc, _ = jax.random.split(key)
-        chw = jnp.transpose(batch.images, (0, 3, 1, 2))
-        blurred = batched_blur(chw, batch.psfs, batch.blurring)
-        images = jnp.transpose(blurred, (0, 2, 3, 1))
+        images = blur_batch_images(batch, resize_images)
         images = apply_corruptions(kc, images, add_noise, noise_level,
                                    add_block, add_jpeg, quantize)
-        imgs, _ = preprocess_batch(images, batch.hw, bucket)
-        labels = label_fn(batch.blurring, batch.param_index, batch.fraction_index)
+        imgs, _ = preprocess_batch(images, batch.hw, bucket,
+                                   crop_images=crop_images)
+        labels = (label_fn(batch.blurring, batch.param_index,
+                   batch.fraction_index, batch.est_label)
+                  if lehe else
+                  label_fn(batch.blurring, batch.param_index,
+                           batch.fraction_index))
 
         def loss_fn(params):
             logits, new_stats = classifier.apply(
@@ -104,16 +153,24 @@ def make_estimator_train_step(
 
 
 def make_estimator_eval_step(classifier: ResNetClassifier,
-                             bucket: Tuple[int, int], lehe: bool = False):
+                             bucket: Tuple[int, int], lehe: bool = False,
+                             resize_images: bool = False,
+                             crop_images: bool = False):
     label_fn = estimator_label_lehe if lehe else estimator_label
+    # Eval uses running BN stats (torch model.eval(),
+    # train_blur_estimator.py:254-270), not batch stats.
+    eval_classifier = classifier.clone(bn_mode="eval")
 
     def step(variables, batch: BlurBatch, key: jax.Array):
-        chw = jnp.transpose(batch.images, (0, 3, 1, 2))
-        blurred = batched_blur(chw, batch.psfs, batch.blurring)
-        images = jnp.transpose(blurred, (0, 2, 3, 1))
-        imgs, _ = preprocess_batch(images, batch.hw, bucket)
-        logits = classifier.apply(variables, imgs)
-        labels = label_fn(batch.blurring, batch.param_index, batch.fraction_index)
+        images = blur_batch_images(batch, resize_images)
+        imgs, _ = preprocess_batch(images, batch.hw, bucket,
+                                   crop_images=crop_images)
+        logits = eval_classifier.apply(variables, imgs)
+        labels = (label_fn(batch.blurring, batch.param_index,
+                   batch.fraction_index, batch.est_label)
+                  if lehe else
+                  label_fn(batch.blurring, batch.param_index,
+                           batch.fraction_index))
         top2 = jax.lax.top_k(logits, 2)[1]
         return {
             "pred": jnp.argmax(logits, -1),

@@ -122,3 +122,77 @@ def test_evaluate_cli_blur_cell(coco_root, tiny_cli):
     out = main(["--data-path", coco_root, "--blur_eval", "--gpu_blur",
                 "--param_index", "1", "--early_stop", "2"])
     assert isinstance(out, dict) and len(out) == 5
+
+
+@pytest.fixture(scope="module")
+def goproblurest_root(tmp_path_factory):
+    """Synthetic GOPROBlurEst layout (custom_datasets.py:1074-1231):
+    split files of "imagePath,blurLabel" lines, .dat pickled targets."""
+    import pickle
+
+    rng = np.random.default_rng(3)
+    root = tmp_path_factory.mktemp("goproest")
+    lines = {"trainSplit.txt": [], "valSplit.txt": []}
+    n = 0
+    for split, per_class in (("trainSplit.txt", 2), ("valSplit.txt", 1)):
+        for label in range(4):
+            for _ in range(per_class):
+                sub = "sharp" if label == 0 else "blur"
+                os.makedirs(root / sub, exist_ok=True)
+                name = str(root / sub / f"{n:05d}.png")
+                n += 1
+                arr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(name)
+                target = {
+                    "boxes": np.array([[4.0, 4.0, 40.0, 40.0]], np.float32),
+                    "labels": np.array([1], np.int64),
+                }
+                if label > 0:
+                    target["windowSize"] = 2 * label + 1
+                with open(name.replace(".png", ".dat"), "wb") as f:
+                    pickle.dump(target, f)
+                lines[split].append(f"{name},{label}")
+    for fname, ls in lines.items():
+        with open(root / fname, "w") as f:
+            f.write("\n".join(ls) + "\n")
+    return str(root)
+
+
+def test_goproblurest_dataset(goproblurest_root):
+    from detectinblur_tpu.data.natural_datasets import GOPROBlurEst
+
+    # Val split: no rebalancing, stored labels round-trip.
+    ds = GOPROBlurEst(goproblurest_root, "val")
+    assert len(ds) == 4
+    labels = sorted(ds[i]["blur_est_label"] for i in range(len(ds)))
+    assert labels == [0, 1, 2, 3]
+    item = ds[0]
+    assert item["pre_blurred"] is True
+    assert item["boxes"].shape == (1, 4)
+    # Blurred-path items carry the stored windowSize, sharp ones 0
+    # (custom_datasets.py:1168-1178).
+    by_label = {ds[i]["blur_est_label"]: ds[i] for i in range(len(ds))}
+    assert by_label[0]["window_size"] == 0
+    assert by_label[3]["window_size"] == 7
+    # Train split: labels 2/3 are never dropped; 0/1 may be (p=.65/.1).
+    dtr = GOPROBlurEst(goproblurest_root, "train", seed=0)
+    kept = [it[2] for it in dtr.items]
+    assert kept.count(2) == 2 and kept.count(3) == 2
+    assert dtr.class_counts[2] == 2
+
+
+def test_estimator_cli_goproblurest(goproblurest_root, tmp_path, monkeypatch):
+    """The estimator trains a step on natural-blur data with stored labels
+    (VERDICT r1 item 7)."""
+    import detectinblur_tpu.cli.train_blur_estimator as cli_est
+    import detectinblur_tpu.data.batching as batching_mod
+
+    monkeypatch.setattr(batching_mod, "DEFAULT_SOURCE_BUCKETS", ((64, 64),))
+    monkeypatch.setattr(cli_est, "model_bucket_for", lambda b, **kw: (64, 64))
+    top1 = cli_est.main([
+        "--dataset", "GOPROBlurEst", "--data-path", goproblurest_root,
+        "--LEHE_blur_seg", "--epochs", "1", "-b", "2", "--early_stop", "2",
+        "--lr", "0.001", "--output_dir", str(tmp_path / "out"),
+        "--print-freq", "1",
+    ])
+    assert 0.0 <= top1 <= 1.0

@@ -224,3 +224,28 @@ def test_get_coco_kp_targets(tmp_path):
     item = ds[0]
     assert item["keypoints"].shape == (1, 17, 3)
     assert item["keypoints"][0, 0, 2] == 2.0
+
+
+def test_loader_crop_clips_boxes(rng):
+    """Oversized images are top-left-cropped to the largest bucket; GT boxes
+    must be clipped to the crop and fully-out-of-frame boxes dropped
+    (loader.py oversize path)."""
+    ds = FakeDataset(rng, n=2, hw=(120, 160))
+    for it in ds.items:
+        it["image"] = rng.random((150, 200, 3)).astype(np.float32)
+        it["boxes"] = np.array([[5, 5, 50, 40],       # inside the crop
+                                [70, 60, 190, 140],   # straddles the edge
+                                [130, 110, 190, 140]],  # fully outside
+                               np.float32)
+        it["labels"] = np.array([1, 3, 4], np.int32)
+        it["area"] = np.ones(3, np.float32)
+        it["iscrowd"] = np.zeros(3, np.int32)
+    loader = DetectionLoader(ds, batch_size=2, policy=BlurPolicy(prob=0.0),
+                             psf_bank=None, source_buckets=((96, 128),))
+    (batch, bucket, _), = list(loader)
+    assert bucket == (96, 128)
+    valid = np.asarray(batch.gt_valid[0])
+    boxes = np.asarray(batch.gt_boxes[0])[valid]
+    assert valid.sum() == 2  # the fully-outside box is gone
+    assert (boxes[:, [0, 2]] <= 128).all() and (boxes[:, [1, 3]] <= 96).all()
+    np.testing.assert_allclose(boxes[1], [70, 60, 128, 96])

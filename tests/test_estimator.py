@@ -57,6 +57,50 @@ def test_stack_select_params():
     np.testing.assert_allclose(np.asarray(sel["b"]["c"]), 2.0)
 
 
+def test_ensemble_predict_expands_gt_and_dispatches():
+    """Under --use_ensemble the reference still applies the expanded-GT
+    rewrite and the blur chain (engine.py:319-342); the jitted ensemble
+    step must return the PSF-expanded GT, not the raw one."""
+    import jax
+
+    import __graft_entry__ as ge
+    from detectinblur_tpu.models.ensemble import (
+        make_ensemble_predict,
+        stack_params,
+    )
+    from detectinblur_tpu.models.faster_rcnn import FasterRCNN, FasterRCNNConfig
+    from detectinblur_tpu.models.roi_heads import BoxHeadConfig
+    from detectinblur_tpu.models.rpn import RPNConfig
+    from detectinblur_tpu.ops.boxes import expand_boxes_by_psf
+
+    cfg = FasterRCNNConfig(
+        min_size=64, max_size=64,
+        rpn=RPNConfig(pre_nms_top_n_train=200, post_nms_top_n_train=100,
+                      pre_nms_top_n_test=200, post_nms_top_n_test=100),
+        box=BoxHeadConfig(batch_size_per_image=64, nms_pool=256,
+                          detections_per_img=20),
+    )
+    model = FasterRCNN(cfg)
+    params = model.init(jax.random.key(0), bucket=(64, 64))
+    stacked = stack_params([params] * 4)
+    batch = ge._tiny_batch(1, 64, 64, seed=5)
+    batch = batch._replace(blurring=jnp.ones(1, bool),
+                           param_index=jnp.array([2]),
+                           fraction_index=jnp.array([4]))
+
+    step = make_ensemble_predict(model, (64, 64), estimator=None, lehe=True,
+                                 expand_target_boxes=True)
+    dets, gt, idx = step(stacked, None, batch)
+    expected = expand_boxes_by_psf(batch.gt_boxes[0], batch.psfs[0],
+                                   True, batch.hw[0, 0], batch.hw[0, 1])
+    np.testing.assert_allclose(np.asarray(gt[0]), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+    assert not np.allclose(np.asarray(gt), np.asarray(batch.gt_boxes))
+    # Oracle dispatch (engine.py:171-192): param 2, high exposure -> model 3.
+    assert int(idx) == 3
+    assert np.asarray(dets.boxes).shape[0] == 1
+
+
 def test_norm_params_lookup():
     blurring = jnp.array([True, True, False, True])
     param = jnp.array([0, 2, -1, 1])
@@ -72,3 +116,77 @@ def test_norm_params_lookup():
                                atol=1e-6)
     np.testing.assert_allclose(s[1], np.array([0.1824, 0.1790, 0.1838]) * 0.229 / 0.2384,
                                atol=1e-6)
+
+
+def test_blur_batch_images_resize_roundtrip():
+    """--resize_images blurs at min-side-800 scale and returns the image at
+    its original size (engine_blur_estimator.py:27-70). With a delta PSF the
+    blur is the identity, so the resize round trip must approximately
+    reproduce the input; non-blurring images must pass through bit-exact."""
+    import jax
+
+    from detectinblur_tpu.train.estimator_engine import blur_batch_images
+    import __graft_entry__ as ge
+
+    batch = ge._tiny_batch(2, 64, 96, seed=11)
+    psf = jnp.zeros((2, 128, 128), jnp.float32).at[:, 63, 63].set(1.0)
+    batch = batch._replace(psfs=psf,
+                           blurring=jnp.array([True, False]))
+    out = jax.jit(lambda b: blur_batch_images(b, resize_images=True))(batch)
+    h, w = int(batch.hw[0, 0]), int(batch.hw[0, 1])
+    np.testing.assert_allclose(
+        np.asarray(out[0, :h, :w]), np.asarray(batch.images[0, :h, :w]),
+        atol=0.06)
+    np.testing.assert_array_equal(np.asarray(out[1]),
+                                  np.asarray(batch.images[1]))
+
+
+def test_preprocess_batch_crop_and_normalize_toggles():
+    """crop_images batches to the min /32 extent with zeros beyond
+    (net_transforms.py:218-247); normalize=False skips mean/std
+    (net_transforms.py:70-80)."""
+    import jax
+
+    from detectinblur_tpu.models.detection_transform import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        preprocess_batch,
+    )
+
+    key = jax.random.key(0)
+    images = jax.random.uniform(key, (2, 96, 96, 3))
+    hw = jnp.array([[96, 96], [48, 72]])
+    out, new_hw = preprocess_batch(images, hw, (128, 128),
+                                   min_size=100, max_size=133)
+    out_c, new_hw_c = preprocess_batch(images, hw, (128, 128),
+                                       min_size=100, max_size=133,
+                                       crop_images=True)
+    nh = np.asarray(new_hw)
+    mh, mw = (nh[:, 0].min() // 32) * 32, (nh[:, 1].min() // 32) * 32
+    np.testing.assert_array_equal(np.asarray(new_hw_c),
+                                  np.tile([mh, mw], (2, 1)))
+    np.testing.assert_allclose(np.asarray(out_c[:, :mh, :mw]),
+                               np.asarray(out[:, :mh, :mw]), atol=1e-6)
+    assert np.all(np.asarray(out_c)[:, mh:] == 0)
+    assert np.all(np.asarray(out_c)[:, :, mw:] == 0)
+
+    raw, _ = preprocess_batch(images, hw, (128, 128),
+                              min_size=100, max_size=133, normalize=False)
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    np.testing.assert_allclose(np.asarray(out[:, :40, :40]),
+                               (np.asarray(raw[:, :40, :40]) - mean) / std,
+                               atol=1e-4)
+
+
+def test_estimator_label_lehe_stored_override():
+    """A stored blur_est_label wins over the derived LEHE label
+    (engine_blur_estimator.py:111-112); -1 means "not stored"."""
+    from detectinblur_tpu.models.classifier import estimator_label_lehe
+
+    blurring = jnp.array([True, True, False, False])
+    param = jnp.array([1, 1, -1, -1])
+    frac = jnp.array([4, 4, -1, -1])
+    est = jnp.array([3, -1, 2, -1])
+    labels = np.asarray(estimator_label_lehe(blurring, param, frac, est))
+    np.testing.assert_array_equal(labels, [3, 2, 2, 0])
