@@ -11,8 +11,13 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--dataset", default="coco")
     p.add_argument("--data-path", "--data_path", dest="data_path",
                    default="/data/coco")
-    p.add_argument("-j", "--workers", default=4, type=int)
-    p.add_argument("--device", default="tpu")
+    p.add_argument("-j", "--workers", default=4, type=int,
+                   help="accepted for CLI parity; the loader is "
+                        "synchronous (device-side blur replaces the "
+                        "reference's worker-pool blur)")
+    p.add_argument("--device", default="tpu",
+                   help="accepted for CLI parity; devices come from the "
+                        "JAX platform (JAX_PLATFORMS)")
     p.add_argument("-b", "--batch-size", dest="batch_size", default=8, type=int)
 
     p.add_argument("--model", default="fasterrcnn_resnet50_fpn",
@@ -92,7 +97,10 @@ def train_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr-steps", dest="lr_steps", nargs="+",
                    default=[16, 22], type=int)
     p.add_argument("--lr-gamma", dest="lr_gamma", default=0.1, type=float)
-    p.add_argument("--aspect-ratio-group-factor", default=3, type=int)
+    p.add_argument("--aspect-ratio-group-factor", default=3, type=int,
+                   help="accepted for CLI parity; batching always groups "
+                        "by the static orientation/size buckets (the XLA "
+                        "fixed-shape equivalent of aspect-ratio groups)")
     p.add_argument("--eval_first", action="store_true")
     return p
 

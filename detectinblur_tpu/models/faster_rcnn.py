@@ -172,13 +172,18 @@ class FasterRCNN:
         """(use_pallas, rois_per_step, win_y) — shared by predict and loss
         so inference and training window geometry can't desynchronize.
 
-        Pallas custom calls have no GSPMD partitioning rule: under a
-        multi-chip mesh the partitioner would all-gather the batch and
-        replicate the kernel per device, so multi-device runs take the XLA
-        quad path, which shards cleanly along the batch axis."""
-        use = (self.cfg.pallas_roi_align
-               and jax.default_backend() in ("tpu", "axon")
-               and jax.device_count() == 1)
+        Multi-device meshes keep the kernel: the RoIAlign entry points are
+        wrapped in custom_partitioning with a batch-dim sharding rule
+        (ops/roi_align_pallas.py SPMD section), so each shard runs the
+        single-device kernel on its slice of the batch. On non-TPU
+        backends the partitioned body is the exact XLA quad path; the
+        DETECTINBLUR_CP_ROIALIGN=1 env hook forces that route on CPU
+        meshes so sharding tests can drive the partitioning rule."""
+        import os
+
+        use = self.cfg.pallas_roi_align and (
+            jax.default_backend() in ("tpu", "axon")
+            or os.environ.get("DETECTINBLUR_CP_ROIALIGN") == "1")
         if not use:
             return False, 0, 0
         import math
@@ -220,12 +225,12 @@ class FasterRCNN:
         use_pallas, rps, wy = self._pallas_pool_plan(bucket)
         if use_pallas:
             from detectinblur_tpu.ops.roi_align_pallas import (
-                pallas_multiscale_roi_align,
+                sharded_multiscale_roi_align,
             )
 
-            pooled = pallas_multiscale_roi_align(feats[:4], rpn_out.proposals,
-                                                 rois_per_step=rps,
-                                                 win_y=wy, win_x=wy + 8)
+            pooled = sharded_multiscale_roi_align(feats[:4], rpn_out.proposals,
+                                                  rois_per_step=rps,
+                                                  win_y=wy, win_x=wy + 8)
 
             def per_image_pooled(pooled_i, rois, roi_valid, hw_i, orig_hw_i):
                 logits, deltas = self._head_from_pooled(params, pooled_i)

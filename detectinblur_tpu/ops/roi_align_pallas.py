@@ -280,6 +280,16 @@ def pallas_multiscale_roi_align(
                  else features[0].dtype)
     out_dtype = features[0].dtype
 
+    # f32 windows double the tier-2 VMEM footprint: at C=256 the default
+    # [win_y, 184] fat window with double buffering blows the 16M scoped
+    # vmem limit at compile time. Shrink the fat window to a ~9.5M
+    # double-buffer budget — rois wider than the shrunk window still
+    # resolve exactly via the tier-3 whole-batch escape.
+    itemsize = jnp.dtype(win_dtype).itemsize
+    if itemsize >= 4:
+        budget = 9_500_000 // (2 * win_y * C * itemsize)
+        tier2_win = max(win_x, min(tier2_win, budget // 8 * 8))
+
     # Padded level copies so any clamped window origin yields an in-bounds
     # strided DMA. Tier 2 reuses these buffers with its fat window by
     # clamping origins (see _kernel_pass); each level therefore needs a
@@ -598,6 +608,213 @@ def _assign_levels_cached(flat_boxes):
     return _assign_levels(flat_boxes, 224, 4)
 
 
+# ======================================================================
+# SPMD: batch-dim partitioning (custom_partitioning).
+#
+# Pallas custom calls carry no GSPMD/Shardy rule, so under a multi-chip
+# mesh the partitioner would all-gather the operands and replicate the
+# kernel per device. But both RoIAlign directions are exactly
+# batch-parallel: rois index only their own image (img_idx = i // R), the
+# backward's accumulation chains never cross images, and the tier budgets
+# are per-call, so sharding the leading dim and running the single-device
+# kernel per shard is bit-identical to the unsharded computation. The
+# rules below say exactly that: dim 0 of every operand/result shards
+# together; every other dim must be replicated (the partitioner inserts
+# the gathers if a user shards them). Per-shard body: the Pallas kernel
+# on TPU backends, the exact XLA quad path elsewhere (CPU meshes used for
+# sharding tests — ops/roi_align.py is exact-equal to the kernel).
+# ======================================================================
+
+
+def kernel_backend() -> bool:
+    """Whether the current backend can run the Pallas TPU kernels."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
+_CP_CACHE: dict = {}
+
+
+def _cp_batch_call(key, body, op_factors, res_factors, args):
+    """Call ``body(*args)`` through a custom_partitioning op whose rule
+    shards the leading 'b' dim of every real operand/result and
+    replicates everything else.
+
+    custom_partitioning rejects jaxpr consts, and the kernel paths bake
+    small np-derived helper arrays (level sizes, chain orders, scale
+    tables) into the trace — so the body is closure-converted first and
+    the hoisted consts ride along as extra replicated operands with
+    generated factor names. (jax.closure_convert only hoists float
+    consts; the integer chain/level tables must move too, so the
+    conversion is done by hand from the jaxpr.)"""
+    n_args = len(args)
+    out_tree_box = []
+
+    def flat_body(*a):
+        out = body(*a)
+        leaves, tree = jax.tree.flatten(out)
+        out_tree_box.append(tree)
+        return leaves
+
+    closed_jaxpr = jax.make_jaxpr(flat_body)(*args)
+    out_tree = out_tree_box[0]
+    consts = closed_jaxpr.consts
+
+    def closed(*all_args):
+        real, consts_ = all_args[:n_args], all_args[n_args:]
+        leaves = jax.core.eval_jaxpr(closed_jaxpr.jaxpr, consts_, *real)
+        return jax.tree.unflatten(out_tree, leaves)
+
+    const_avals = tuple((tuple(c.shape), jnp.dtype(c.dtype).name)
+                        for c in consts)
+    arg_avals = tuple((tuple(a.shape), jnp.dtype(a.dtype).name)
+                      for a in args)
+    cache_key = (key, arg_avals, const_avals)
+    f = _CP_CACHE.get(cache_key)
+    if f is None:
+        from jax.experimental.custom_partitioning import custom_partitioning
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_real = len(op_factors)
+        const_factors = [
+            " ".join(f"z{i}_{d}" for d in range(len(shape)))
+            for i, (shape, _) in enumerate(const_avals)]
+        rule = (", ".join(list(op_factors) + const_factors)
+                + " -> " + ", ".join(res_factors))
+        # need_replication = every factor but 'b', in first-appearance
+        # order (shardy requires sorted special-factor indices).
+        seen: set = set()
+        order: list = []
+        for tok in rule.replace("->", ",").split(","):
+            for fac in tok.split():
+                if fac != "b" and fac not in seen:
+                    seen.add(fac)
+                    order.append(fac)
+
+        def _batch_axis(arg_shapes):
+            for a in jax.tree.leaves(arg_shapes)[:n_real]:
+                spec = getattr(a.sharding, "spec", None)
+                if spec is not None and len(spec) and spec[0] is not None:
+                    return spec[0]
+            return None
+
+        def _shardings(mesh, axis, tree, batch):
+            def one(x):
+                if batch and len(x.shape):
+                    return NamedSharding(
+                        mesh,
+                        PartitionSpec(axis, *([None] * (len(x.shape) - 1))))
+                return NamedSharding(mesh, PartitionSpec())
+            return jax.tree.map(one, tree)
+
+        # Legacy-GSPMD callbacks (used when shardy is off).
+        def infer(mesh, arg_shapes, result_shape):
+            return _shardings(mesh, _batch_axis(arg_shapes), result_shape,
+                              batch=True)
+
+        def partition(mesh, arg_shapes, result_shape):
+            axis = _batch_axis(arg_shapes)
+            flat = jax.tree.leaves(arg_shapes)
+            arg_sh = tuple(
+                _shardings(mesh, axis, a, batch=i < n_real)
+                for i, a in enumerate(flat))
+            res_sh = _shardings(mesh, axis, result_shape, batch=True)
+
+            def lower_fn(*all_args):
+                # Re-trace the body at the per-shard shapes: `closed`
+                # replays a jaxpr specialized to the GLOBAL shapes, and
+                # the hoisted helper tables (chain orders, level scales)
+                # must be rebuilt for the local batch anyway. The global
+                # const operands are ignored here.
+                return body(*all_args[:n_real])
+
+            return mesh, lower_fn, res_sh, arg_sh
+
+        def propagate(mesh, user_shape):
+            return jax.tree.map(lambda x: x.sharding, user_shape)
+
+        f = custom_partitioning(closed)
+        f.def_partition(
+            partition=partition,
+            infer_sharding_from_operands=infer,
+            propagate_user_sharding=propagate,
+            sharding_rule=rule,
+            need_replication_factors=tuple(order),
+        )
+        _CP_CACHE[cache_key] = f
+    return f(*args, *consts)
+
+
+_FWD_FACTORS = ("b h2 w2 c", "b h3 w3 c", "b h4 w4 c", "b h5 w5 c", "b r q")
+_OUT_FACTORS = ("b r o p c",)
+
+
+def sharded_multiscale_roi_align(
+    features,                 # tuple of 4 levels [B, H_l, W_l, C]
+    boxes,                    # [B, R, 4]
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    rois_per_step: int = 4,
+    win_y: int = 48,
+    win_x: int = 56,
+):
+    """Batch-dim-shardable RoIAlign forward (the inference path): the
+    Pallas kernel per shard under any mesh, exact quad elsewhere."""
+    feats = tuple(features)
+
+    def body(f2, f3, f4, f5, b):
+        if kernel_backend():
+            return pallas_multiscale_roi_align(
+                (f2, f3, f4, f5), b, output_size, sampling_ratio,
+                rois_per_step, win_y, win_x)
+        return _quad_batch((f2, f3, f4, f5), b)
+
+    return _cp_batch_call(
+        ("roi_align_fwd", output_size, sampling_ratio, rois_per_step,
+         win_y, win_x, kernel_backend()),
+        body, _FWD_FACTORS, _OUT_FACTORS, (*feats, boxes))
+
+
+def _sharded_roi_align_bwd(feat_shapes, feat_dtype, win_y, win_x,
+                           boxes, dout):
+    """Batch-dim-shardable RoIAlign backward: window-RMW kernel per shard
+    on TPU, exact take-VJP elsewhere."""
+    feat_shapes = tuple(feat_shapes)
+
+    def body(bxs, d):
+        B = bxs.shape[0]
+        N = B * bxs.shape[1]
+        if not kernel_backend():
+            all_rois = jnp.ones((N,), bool)
+            full = _oversized_grads(feat_shapes, B, bxs, d, all_rois, N)
+            return tuple(f.astype(feat_dtype) for f in full)
+        grads, oversized = _pallas_roi_align_bwd(
+            feat_shapes, bxs, d, win_y, win_x)
+        # Oversized rois: exact flat-pyramid take-VJP on a k-bounded
+        # subset. Budget mirrors the forward's per-orientation tiers
+        # (2 x TIER2_K); on overflow the WHOLE backward recomputes via the
+        # take-VJP over all rois (the forward's tier-3 escape), so
+        # gradients are never dropped.
+        k = min(2 * TIER2_K, N)
+        over = _oversized_grads(feat_shapes, B, bxs, d, oversized, k)
+        dfeat = tuple(
+            (g_ + o_).astype(feat_dtype) for g_, o_ in zip(grads, over))
+
+        def full_recompute(_):
+            all_rois = jnp.ones((N,), bool)
+            full = _oversized_grads(feat_shapes, B, bxs, d, all_rois, N)
+            return tuple(f.astype(feat_dtype) for f in full)
+
+        return jax.lax.cond(jnp.sum(oversized) > k,
+                            full_recompute, lambda _: dfeat, 0)
+
+    return _cp_batch_call(
+        ("roi_align_bwd", feat_shapes, feat_dtype, win_y, win_x,
+         kernel_backend()),
+        body, ("b r q", "b r o p c"),
+        ("b h2 w2 c", "b h3 w3 c", "b h4 w4 c", "b h5 w5 c"),
+        (boxes, dout))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def multiscale_roi_align_fused(
     features,                 # tuple of 4 levels [B, H_l, W_l, C]
@@ -610,15 +827,17 @@ def multiscale_roi_align_fused(
 ):
     """Differentiable batched FPN RoIAlign: Pallas window kernel forward,
     Pallas window-RMW backward (boxes get zero cotangents — proposals are
-    detached, matching torchvision's roi_align which has no box grad)."""
-    return pallas_multiscale_roi_align(
+    detached, matching torchvision's roi_align which has no box grad).
+    Both directions shard along the batch dim under a mesh (see the SPMD
+    section above)."""
+    return sharded_multiscale_roi_align(
         tuple(features), boxes, output_size, sampling_ratio, rois_per_step,
         win_y, win_x)
 
 
 def _fused_fwd(features, boxes, output_size, sampling_ratio, rois_per_step,
                win_y, win_x):
-    out = pallas_multiscale_roi_align(
+    out = sharded_multiscale_roi_align(
         tuple(features), boxes, output_size, sampling_ratio, rois_per_step,
         win_y, win_x)
     # Zero-size placeholders carry each level's (H, W) + dtype to bwd.
@@ -632,28 +851,10 @@ def _fused_bwd(output_size, sampling_ratio, rois_per_step, win_y, win_x,
     assert output_size == 7 and sampling_ratio == 2, (
         "fused backward supports the torchvision 7x7/2 configuration")
     boxes, shapes = res
-    feat_shapes = [(p.shape[0], p.shape[1]) for p in shapes]
-    feat_dtype = shapes[0].dtype
-    grads, oversized = _pallas_roi_align_bwd(
-        feat_shapes, boxes, dout, win_y, win_x)
-    B = boxes.shape[0]
-    N = B * boxes.shape[1]
-    # Oversized rois: exact flat-pyramid take-VJP on a k-bounded subset.
-    # Budget mirrors the forward's per-orientation tiers (2 x TIER2_K); on
-    # overflow the WHOLE backward recomputes via the take-VJP over all
-    # rois (the forward's tier-3 escape), so gradients are never dropped.
-    k = min(2 * TIER2_K, N)
-    over = _oversized_grads(feat_shapes, B, boxes, dout, oversized, k)
-    dfeat = tuple(
-        (g_ + o_).astype(feat_dtype) for g_, o_ in zip(grads, over))
-
-    def full_recompute(_):
-        all_rois = jnp.ones((N,), bool)
-        full = _oversized_grads(feat_shapes, B, boxes, dout, all_rois, N)
-        return tuple(f.astype(feat_dtype) for f in full)
-
-    dfeat = jax.lax.cond(jnp.sum(oversized) > k,
-                         full_recompute, lambda _: dfeat, 0)
+    feat_shapes = tuple((p.shape[0], p.shape[1]) for p in shapes)
+    feat_dtype = jnp.dtype(shapes[0].dtype).name
+    dfeat = _sharded_roi_align_bwd(feat_shapes, feat_dtype, win_y, win_x,
+                                   boxes, dout)
     return dfeat, jnp.zeros_like(boxes)
 
 
