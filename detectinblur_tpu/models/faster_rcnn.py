@@ -223,12 +223,17 @@ class FasterRCNN:
                           training=False, cfg=cfg.rpn)
 
         use_pallas, rps, wy = self._pallas_pool_plan(bucket)
+        # Invalid proposal slots carry NMS-suppressed boxes; their pooled
+        # outputs are masked out of postprocess_detections, so zero them
+        # rather than let garbage slivers trip the RoIAlign oversized path.
+        proposals = jnp.where(rpn_out.proposal_valid[..., None],
+                              rpn_out.proposals, 0.0)
         if use_pallas:
             from detectinblur_tpu.ops.roi_align_pallas import (
                 sharded_multiscale_roi_align,
             )
 
-            pooled = sharded_multiscale_roi_align(feats[:4], rpn_out.proposals,
+            pooled = sharded_multiscale_roi_align(feats[:4], proposals,
                                                   rois_per_step=rps,
                                                   win_y=wy, win_x=wy + 8)
 
@@ -306,6 +311,10 @@ class FasterRCNN:
             keys[:, 1], rpn_out.proposals, rpn_out.proposal_valid,
             gt_resized, gt_labels, gt_valid,
         )
+        # Invalid slots can carry arbitrary (NMS-suppressed / padded) boxes;
+        # their pooled outputs are masked out of the loss, so zero the boxes
+        # rather than let garbage slivers trip the RoIAlign oversized path.
+        rois = jnp.where(roi_valid[..., None], rois, 0.0)
 
         p2to5 = feats[:4]
         use_pallas, rps, wy = self._pallas_pool_plan(bucket)

@@ -20,20 +20,19 @@ MultiScaleRoIAlign at reference models/faster_rcnn.py:204-208):
 
 Tiering. The FPN level mapper bounds a roi's *geometric-mean* extent to
 sqrt(area)*scale_l < 28 cells below the top level (<= max_side/32 + spill
-when clamped), so:
+when clamped), so a [48, 56] window covers ~99% of real RPN proposals
+(extreme-aspect slivers land on low levels where their long axis spans
+many cells). Oversized rois take a compacted exact-quad correction: up to
+OVERSIZED_K of them are gathered with top_k, resampled through the exact
+XLA quad path over the flattened 4B-level pyramid (~5 us/roi — gather-row
+bound but k-bounded), and placed back with an [N, k] one-hot MXU matmul
+(TPU scatter serializes; one-hot rows are exact 0/1, so placement is
+bit-exact). The whole correction — including the quad-buffer build — sits
+behind a lax.cond and costs nothing on the common all-fit batch; more
+than OVERSIZED_K oversized rois (pathological untrained-RPN batches)
+escape to a whole-batch exact-quad recompute.
 
-  * Tier 1 — a [48, 56] window covers ~99% of real RPN proposals.
-  * Tier 2 — a roi can exceed 46 cells in at most ONE axis (the mean bound
-    forbids both). Oversized rois are compacted into two fixed-size
-    subsets and rerun through the same kernel with a [48, 184] window:
-    wide boxes from the row-major levels, tall boxes from transposed
-    levels (output bins transposed back). Merging uses a one-hot matmul —
-    TPU scatter serializes, an [N, K] MXU matmul does not.
-  * Tier 3 — a roi wider than ~175 cells at its level (aspect ratio > ~27
-    even for the largest boxes) or subset-budget overflow triggers a
-    whole-batch recompute on the exact XLA quad path via lax.cond.
-
-All tiers are exact (torch aligned=False semantics, identical to
+All paths are exact (torch aligned=False semantics, identical to
 ops.roi_align.multiscale_roi_align).
 """
 
@@ -49,7 +48,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SAMPLES = 14          # 7 bins x 2 sampling points per axis
-TIER2_K = 256         # oversized-roi budget per orientation per batch
+# Oversized-roi budget per batch (fwd and bwd). Sized for the worst real
+# case: an UNTRAINED RPN decodes random deltas into extreme-aspect slivers
+# and ~25% of the 4096 sampled training rois can overflow the tier-1
+# window, so the budget must cover that without tripping the whole-batch
+# escape (trained proposals overflow at <1%).
+OVERSIZED_K = 2048
 
 
 def _kernel_factory(rps, win_y, win_x, n_steps, out_size, win_dtype):
@@ -190,10 +194,10 @@ def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
 
     ``pad_y``/``pad_x``: how much bottom/right zero padding the level
     buffers actually carry (defaults to the window size). When the window
-    is wider than the padding (tier 2 reuses tier-1 buffers), origins are
-    clamped leftward/upward so the DMA stays in bounds — the selection
-    matrices reference the clamped origin, so results stay exact, and the
-    window still reaches the level edge."""
+    is wider than the padding, origins are clamped leftward/upward so the
+    DMA stays in bounds — the selection matrices reference the clamped
+    origin, so results stay exact, and the window still reaches the level
+    edge."""
     N = flat_boxes.shape[0]
     C = pads[0].shape[-1]
 
@@ -254,8 +258,7 @@ def _quad_batch(features, boxes):
 
 @functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
                                               "rois_per_step", "win_y",
-                                              "win_x", "tier2_win",
-                                              "tier2_k"))
+                                              "win_x", "oversized_k"))
 def pallas_multiscale_roi_align(
     features: Sequence[jax.Array],   # 4 levels [B, H_l, W_l, C]
     boxes: jax.Array,                # [B, R, 4] xyxy in input coords
@@ -264,8 +267,7 @@ def pallas_multiscale_roi_align(
     rois_per_step: int = 4,
     win_y: int = 48,
     win_x: int = 56,
-    tier2_win: int = 184,
-    tier2_k: int | None = None,
+    oversized_k: int | None = None,
 ) -> jax.Array:
     """Batched FPN RoIAlign -> [B, R, 7, 7, C]; see module docstring."""
     from detectinblur_tpu.models.resnet import CONV_PRECISION
@@ -280,26 +282,12 @@ def pallas_multiscale_roi_align(
                  else features[0].dtype)
     out_dtype = features[0].dtype
 
-    # f32 windows double the tier-2 VMEM footprint: at C=256 the default
-    # [win_y, 184] fat window with double buffering blows the 16M scoped
-    # vmem limit at compile time. Shrink the fat window to a ~9.5M
-    # double-buffer budget — rois wider than the shrunk window still
-    # resolve exactly via the tier-3 whole-batch escape.
-    itemsize = jnp.dtype(win_dtype).itemsize
-    if itemsize >= 4:
-        budget = 9_500_000 // (2 * win_y * C * itemsize)
-        tier2_win = max(win_x, min(tier2_win, budget // 8 * 8))
-
     # Padded level copies so any clamped window origin yields an in-bounds
-    # strided DMA. Tier 2 reuses these buffers with its fat window by
-    # clamping origins (see _kernel_pass); each level therefore needs a
-    # right pad of at least tier2_win - W_l. Levels already larger than the
-    # window need NO padding at all (origin clamping keeps the DMA in
-    # bounds) — skipping the pad copy of P2/P3 saves ~3 ms on the detector
-    # batch.
+    # strided DMA. Levels already larger than the window need NO padding
+    # at all (origin clamping keeps the DMA in bounds) — skipping the pad
+    # copy of P2/P3 saves ~3 ms on the detector batch.
     pad_ys = [0 if f.shape[1] >= win_y else win_y for f in features]
-    pad_xs = [max(0 if f.shape[2] >= win_x else win_x,
-                  tier2_win - f.shape[2], 0) for f in features]
+    pad_xs = [0 if f.shape[2] >= win_x else win_x for f in features]
     pads = [f.astype(win_dtype) if not (py or px) else
             jnp.pad(f, ((0, 0), (0, py), (0, px), (0, 0))).astype(win_dtype)
             for f, py, px in zip(features, pad_ys, pad_xs)]
@@ -309,72 +297,53 @@ def pallas_multiscale_roi_align(
     flat_boxes = boxes.reshape(N, 4)
     img_idx = (jnp.arange(N, dtype=jnp.int32) // R)
 
-    # ------------------------------------------------------------- tier 1
+    # ----------------------------------------------- tier 1: window kernel
     out, oversized = _kernel_pass(
         pads, flat_boxes, img_idx, sizes, scales, out_dtype, win_dtype,
         rois_per_step, win_y, win_x, s, g, pad_y=pad_ys, pad_x=pad_xs)
 
-    # ------------------------------------------------------------- tier 2
-    # A roi can exceed the window in at most one axis (the level mapper
-    # bounds the geometric-mean extent), so two oriented fat-window passes
-    # cover every oversized roi: wide boxes row-major, tall boxes from
-    # transposed levels.
-    k = min(TIER2_K if tier2_k is None else tier2_k, N)
-    wbox = flat_boxes[:, 2] - flat_boxes[:, 0]
-    hbox = flat_boxes[:, 3] - flat_boxes[:, 1]
-    tall = hbox > wbox
+    # ----------------------------------------------------- oversized rois
+    # Compacted exact-quad correction (see module docstring): gather up to
+    # k oversized rois, resample them through the exact XLA quad path over
+    # the flattened 4B-level pyramid, and place the results back with a
+    # one-hot MXU matmul. ~5 us/roi vs ~73 us/roi for the old rps=1
+    # fat-window rerun, no VMEM window budget, no orientation split.
+    k = min(OVERSIZED_K if oversized_k is None else oversized_k, N)
 
-    def tier2(out, subset_mask, swap):
-        # Returns a dense [N,s,s,C] correction (zero off-subset) + residual.
-        _, idx = jax.lax.top_k(subset_mask.astype(jnp.float32), k)
-        sub_boxes = flat_boxes[idx]
-        if swap:
-            sub_boxes = sub_boxes[:, jnp.array([1, 0, 3, 2])]
-            sub_pad_xs = [max(win_x, tier2_win - f.shape[1])
-                          for f in features]
-            sub_pads = [jnp.pad(jnp.transpose(f, (0, 2, 1, 3)),
-                                ((0, 0), (0, win_y), (0, px), (0, 0))
-                                ).astype(win_dtype)
-                        for f, px in zip(features, sub_pad_xs)]
-            sub_sizes = sizes[:, ::-1].copy()
-            sub_pad_ys = [win_y] * len(features)
-        else:
-            sub_pad_xs = pad_xs
-            sub_pads = pads
-            sub_sizes = sizes
-            sub_pad_ys = pad_ys
-        sub_out, sub_over = _kernel_pass(
-            sub_pads, sub_boxes, img_idx[idx], sub_sizes, scales, out_dtype,
-            win_dtype, 1, win_y, tier2_win, s, g,
-            pad_y=sub_pad_ys, pad_x=sub_pad_xs)
-        if swap:
-            sub_out = jnp.transpose(sub_out, (0, 2, 1, 3))
-        # Merge by one-hot matmul (TPU scatter serializes; the MXU doesn't).
-        apply = subset_mask[idx]
-        delta = jnp.where(apply[:, None, None, None],
-                          sub_out.astype(jnp.float32)
-                          - out[idx].astype(jnp.float32), 0.0)
-        onehot = (idx[None, :] == jnp.arange(N)[:, None]).astype(win_dtype)
-        from detectinblur_tpu.models.resnet import CONV_PRECISION
-        corr = jnp.matmul(onehot, delta.reshape(k, -1).astype(win_dtype),
-                          precision=CONV_PRECISION,
-                          preferred_element_type=jnp.float32)
-        # Residual: tier-2 member that still overflowed, or budget overflow.
-        residual = (jnp.sum(sub_over & apply)
-                    + jnp.maximum(jnp.sum(subset_mask) - k, 0))
-        return corr.reshape(out.shape), residual
+    def fix_oversized(o):
+        from detectinblur_tpu.ops.roi_align import (
+            _assign_levels, _build_quad, _quad_sample)
 
-    corr_w, resid_w = tier2(out, oversized & ~tall, swap=False)
-    corr_t, resid_t = tier2(out, oversized & tall, swap=True)
-    out = (out.astype(jnp.float32) + corr_w + corr_t).astype(out_dtype)
+        lvl = _assign_levels(flat_boxes, 224, 4)
+        _, idx = jax.lax.top_k(oversized.astype(jnp.float32), k)
+        per_image = [features[li][b] for b in range(B) for li in range(4)]
+        quad, offs, szs = _build_quad(per_image)
+        scales_flat = jnp.asarray([0.25, 0.125, 0.0625, 0.03125] * B,
+                                  jnp.float32)
+        sub_out = _quad_sample(quad, img_idx[idx] * 4 + lvl[idx], offs, szs,
+                               scales_flat, flat_boxes[idx], s, g, out_dtype)
+        # One-hot rows are exact 0/1 in any dtype and HIGHEST keeps f32
+        # accumulation, so each placed row reproduces its sub_out row
+        # bit-for-bit (1.0 * v plus exact zeros).
+        onehot = (idx[None, :] == jnp.arange(N)[:, None])
+        placed = jnp.matmul(onehot.astype(sub_out.dtype),
+                            sub_out.reshape(k, -1),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        placed = placed.reshape(o.shape).astype(out_dtype)
+        fixed = jnp.where(oversized[:, None, None, None], placed, o)
+        # Budget overflow (pathological batches): whole-batch exact quad.
+        return jax.lax.cond(
+            jnp.sum(oversized) > k,
+            lambda _: _quad_batch(features, boxes).reshape(N, s, s, C)
+                      .astype(out_dtype),
+            lambda f_: f_,
+            fixed,
+        )
 
-    # ------------------------------------------------------------- tier 3
-    out = jax.lax.cond(
-        resid_w + resid_t > 0,
-        lambda _: _quad_batch(features, boxes).reshape(N, s, s, C),
-        lambda o_: o_,
-        out,
-    )
+    # The correction — including the quad-buffer build — sits behind one
+    # cond: the common all-fit batch pays nothing for it.
+    out = jax.lax.cond(jnp.any(oversized), fix_oversized, lambda o: o, out)
     return out.reshape(B, R, s, s, C)
 
 
@@ -790,11 +759,10 @@ def _sharded_roi_align_bwd(feat_shapes, feat_dtype, win_y, win_x,
         grads, oversized = _pallas_roi_align_bwd(
             feat_shapes, bxs, d, win_y, win_x)
         # Oversized rois: exact flat-pyramid take-VJP on a k-bounded
-        # subset. Budget mirrors the forward's per-orientation tiers
-        # (2 x TIER2_K); on overflow the WHOLE backward recomputes via the
-        # take-VJP over all rois (the forward's tier-3 escape), so
-        # gradients are never dropped.
-        k = min(2 * TIER2_K, N)
+        # subset. Budget mirrors the forward's OVERSIZED_K; on overflow
+        # the WHOLE backward recomputes via the take-VJP over all rois
+        # (the forward's escape), so gradients are never dropped.
+        k = min(OVERSIZED_K, N)
         over = _oversized_grads(feat_shapes, B, bxs, d, oversized, k)
         dfeat = tuple(
             (g_ + o_).astype(feat_dtype) for g_, o_ in zip(grads, over))

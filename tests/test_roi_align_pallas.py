@@ -43,9 +43,9 @@ def test_pallas_matches_xla(rng):
 
 
 def test_pallas_orientation_and_fallback(rng):
-    """Tall slivers exercise the transposed-window orientation; giants and
-    full-width slivers exceed the wide-axis window and must take the exact
-    scattered fallback subset."""
+    """Tall and wide slivers exceed the tier-1 window in one axis and must
+    take the exact compacted-quad correction; giants exercise the P5
+    clamp."""
     B, R = 1, 8
     feats = _feats(rng, B)
     boxes = np.array([[[0, 0, 250, 310],      # spans nearly the image
@@ -66,7 +66,7 @@ def test_pallas_orientation_and_fallback(rng):
 
 
 def test_pallas_budget_escape_hatch(rng):
-    """More oversized rois than FALLBACK_K -> the whole batch recomputes on
+    """More oversized rois than the budget -> the whole batch recomputes on
     the exact quad path (lax.cond escape)."""
     import detectinblur_tpu.ops.roi_align_pallas as rap
 
@@ -82,7 +82,7 @@ def test_pallas_budget_escape_hatch(rng):
 
     with pltpu.force_tpu_interpret_mode():
         ours = np.asarray(pallas_multiscale_roi_align(feats, boxes,
-                                                      tier2_k=2))
+                                                      oversized_k=2))
 
     np.testing.assert_allclose(ours, _expected(feats, boxes), atol=2e-5)
 
