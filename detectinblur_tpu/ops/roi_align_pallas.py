@@ -725,6 +725,7 @@ def sharded_multiscale_roi_align(
     rois_per_step: int = 4,
     win_y: int = 48,
     win_x: int = 56,
+    oversized_k: int | None = None,
 ):
     """Batch-dim-shardable RoIAlign forward (the inference path): the
     Pallas kernel per shard under any mesh, exact quad elsewhere."""
@@ -734,12 +735,12 @@ def sharded_multiscale_roi_align(
         if kernel_backend():
             return pallas_multiscale_roi_align(
                 (f2, f3, f4, f5), b, output_size, sampling_ratio,
-                rois_per_step, win_y, win_x)
+                rois_per_step, win_y, win_x, oversized_k=oversized_k)
         return _quad_batch((f2, f3, f4, f5), b)
 
     return _cp_batch_call(
         ("roi_align_fwd", output_size, sampling_ratio, rois_per_step,
-         win_y, win_x, kernel_backend()),
+         win_y, win_x, oversized_k, kernel_backend()),
         body, _FWD_FACTORS, _OUT_FACTORS, (*feats, boxes))
 
 
