@@ -160,7 +160,7 @@ def _window_geometry(flat_boxes, sizes, scales, win_y, win_x, s, g,
                      pad_y=None, pad_x=None):
     """Tier-window geometry shared by the forward and backward kernels:
     per-roi (level, clamped window origin, folded selection matrices,
-    oversized flag)."""
+    oversized flag, (ey, ex) sample extents from the clamped origin)."""
     L = len(sizes)
     pad_y = np.full(L, win_y) if pad_y is None else np.asarray(pad_y)
     pad_x = np.full(L, win_x) if pad_x is None else np.asarray(pad_x)
@@ -177,15 +177,16 @@ def _window_geometry(flat_boxes, sizes, scales, win_y, win_x, s, g,
     x0 = jnp.clip(jnp.min(x_lo, axis=1), 0, max_x0)
     x0 = (x0 // 8) * 8                      # sublane-aligned DMA origin
 
-    oversized = ((jnp.max(y_lo, axis=1) - y0 > win_y - 2)
-                 | (jnp.max(x_lo, axis=1) - x0 > win_x - 2))
+    ey = jnp.max(y_lo, axis=1) - y0
+    ex = jnp.max(x_lo, axis=1) - x0
+    oversized = (ey > win_y - 2) | (ex > win_x - 2)
 
     ty = _selection(y_lo, wy_lo, wy_hi, y_ok, y0, win_y)     # [N, 14, win_y]
     tx = _selection(x_lo, wx_lo, wx_hi, x_ok, x0, win_x)
     # Fold the separable 2x2 bin mean into the selection rows.
     ty = 0.5 * (ty[:, 0::2] + ty[:, 1::2])                   # [N, 7, win_y]
     tx = 0.5 * (tx[:, 0::2] + tx[:, 1::2])
-    return lvl, y0, x0, ty, tx, oversized
+    return lvl, y0, x0, ty, tx, oversized, (ey, ex)
 
 
 def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
@@ -201,7 +202,7 @@ def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
     N = flat_boxes.shape[0]
     C = pads[0].shape[-1]
 
-    lvl, y0, x0, ty, tx, oversized = _window_geometry(
+    lvl, y0, x0, ty, tx, oversized, _ = _window_geometry(
         flat_boxes, sizes, scales, win_y, win_x, s, g, pad_y, pad_x)
 
     n_steps = pl.cdiv(N, rps)
@@ -373,9 +374,9 @@ def pallas_multiscale_roi_align(
 # ======================================================================
 
 
-def _bwd_kernel_factory(chains, win_y, win_x, n_steps):
+def _bwd_kernel_factory(chains, win_y, win_x, wins, n_steps):
 
-    def kernel(img_ref, lvl_ref, y0_ref, x0_ref,         # scalar [chains, S]
+    def kernel(img_ref, lvl_ref, y0_ref, x0_ref, cls_ref,  # scalar [chains,S]
                z2, z3, z4, z5,                           # aliased zero inits
                dout_ref, ty_ref, tx_ref,                 # VMEM blocks
                o2, o3, o4, o5,                           # ANY level grads
@@ -387,20 +388,26 @@ def _bwd_kernel_factory(chains, win_y, win_x, n_steps):
         # Scalars are [chains, steps]: the steps-minor layout keeps the
         # SMEM rows lane-aligned (a [steps, chains] layout lane-pads every
         # 4-wide row to 128 and blows the 1 MB SMEM budget).
-        def copy(si, c, li, inbound):
+        def copy(si, c, li, cl, inbound):
+            wy, wx = wins[cl]
             region = outs[li].at[
-                img_ref[c, si], pl.ds(y0_ref[c, si], win_y),
-                pl.ds(pl.multiple_of(x0_ref[c, si], 8), win_x), :]
+                img_ref[c, si], pl.ds(y0_ref[c, si], wy),
+                pl.ds(pl.multiple_of(x0_ref[c, si], 8), wx), :]
+            buf = win.at[c, :wy, :wx]
             if inbound:
-                return pltpu.make_async_copy(region, win.at[c], in_sems.at[c])
-            return pltpu.make_async_copy(win.at[c], region, out_sems.at[c])
+                return pltpu.make_async_copy(region, buf, in_sems.at[c])
+            return pltpu.make_async_copy(buf, region, out_sems.at[c])
 
         def roi_dma(si, c, inbound, do_wait):
+            # Class 0 (zero-contribution rois) is pinned to level 0 host-
+            # side, so only 9 of the 12 (level, class) combos are live.
             for li in range(4):
-                @pl.when(lvl_ref[c, si] == li)
-                def _():
-                    dma = copy(si, c, li, inbound)
-                    (dma.wait if do_wait else dma.start)()
+                for cl in ((0, 1, 2) if li == 0 else (1, 2)):
+                    @pl.when((lvl_ref[c, si] == li)
+                             & (cls_ref[c, si] == cl))
+                    def _():
+                        dma = copy(si, c, li, cl, inbound)
+                        (dma.wait if do_wait else dma.start)()
 
         # Wait the chain's previous write-back, then fetch this window.
         for c in range(chains):
@@ -446,20 +453,46 @@ def _chain_order(B, R, chains):
 
 def _pallas_roi_align_bwd(feat_shapes, boxes, dout, win_y, win_x, chains=4):
     """Tier-1 window-RMW gradients. Returns (grads per level [B,H,W,C]
-    in f32, oversized [N] mask)."""
+    in f32, oversized [N] mask).
+
+    Windows are size-classed per roi to cut the RMW HBM traffic: class 2
+    streams the full [win_y, win_x] window, class 1 a [win_y-16, win_x-16]
+    sub-window (most trained-RPN rois: the level mapper keeps sample
+    extents near 14 cells), and class 0 — rois with provably zero
+    contribution (zero upstream cotangent, oversized-with-zeroed-rows,
+    chain-padding dummies) — a token [8, 8] copy of level-0 pad rows that
+    exists only to keep the chain's semaphore protocol uniform."""
     B, R = boxes.shape[:2]
     N = B * R
     C = dout.shape[-1]
     s, g = 7, 2
     sizes = np.array([[h, w] for (h, w) in feat_shapes], np.int32)
     scales = np.array([0.25, 0.125, 0.0625, 0.03125], np.float32)
+    wy2, wx2 = max(8, win_y - 16), max(8, win_x - 16)
+    wins = ((8, 8), (wy2, wx2), (win_y, win_x))
 
     flat_boxes = boxes.reshape(N, 4)
     img_idx = jnp.arange(N, dtype=jnp.int32) // R
-    lvl, y0, x0, ty, tx, oversized = _window_geometry(
+    lvl, y0, x0, ty, tx, oversized, (ey, ex) = _window_geometry(
         flat_boxes, sizes, scales, win_y, win_x, s, g)
     keep = (~oversized).astype(ty.dtype)
     ty = ty * keep[:, None, None]
+
+    # Zero-contribution rois: padded/unsampled slots get exactly-zero
+    # upstream cotangents from the masked losses, and oversized rois have
+    # their selection rows zeroed above (the k-bounded take-VJP handles
+    # them exactly) — neither needs its window streamed.
+    active = jnp.any(dout.reshape(N, -1) != 0, axis=1)
+    redirect = (~active) | oversized
+    small = (ey <= wy2 - 2) & (ex <= wx2 - 2)
+    cls = jnp.where(redirect, 0, jnp.where(small, 1, 2)).astype(jnp.int32)
+    # Class-0 windows live entirely in level-0's bottom pad rows
+    # ([H0, H0+8)): they can only race with other class-0 / pad rows, all
+    # sliced off the result.
+    img_idx = jnp.where(redirect, 0, img_idx)
+    lvl = jnp.where(redirect, 0, lvl)
+    y0 = jnp.where(redirect, int(sizes[0, 0]), y0)
+    x0 = jnp.where(redirect, 0, x0)
 
     chains = min(chains, B)
     ord_, steps = _chain_order(B, R, chains)
@@ -473,10 +506,9 @@ def _pallas_roi_align_bwd(feat_shapes, boxes, dout, win_y, win_x, chains=4):
 
     img_a = arrange(img_idx, 0).T        # [chains, steps] (SMEM layout)
     lvl_a = arrange(lvl, 0).T
-    # Dummy windows live entirely in level-0's bottom pad rows ([H0, H0+wy)):
-    # they can only race with other dummies / real pad rows, all sliced off.
     y0_a = arrange(y0, int(sizes[0, 0])).T
     x0_a = arrange(x0, 0).T
+    cls_a = arrange(cls, 0).T            # dummies -> class 0
     ty_a = arrange(ty, 0.0)            # zero rows -> dwin == 0 for dummies
     tx_a = arrange(tx, 0.0)
     dout_a = dout.reshape(N, s, s, C)[idx]
@@ -487,7 +519,7 @@ def _pallas_roi_align_bwd(feat_shapes, boxes, dout, win_y, win_x, chains=4):
              for (h, w) in feat_shapes]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(steps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [
             pl.BlockSpec((1, chains, s, s, C),
@@ -505,20 +537,20 @@ def _pallas_roi_align_bwd(feat_shapes, boxes, dout, win_y, win_x, chains=4):
             pltpu.SemaphoreType.DMA((chains,)),
         ],
     )
-    kernel = _bwd_kernel_factory(chains, win_y, win_x, steps)
+    kernel = _bwd_kernel_factory(chains, win_y, win_x, wins, steps)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(z.shape, z.dtype) for z in zeros],
-        # Zero-initialized accumulators: inputs 4..7 (after the 4 scalar-
+        # Zero-initialized accumulators: inputs 5..8 (after the 5 scalar-
         # prefetch operands) are donated to outputs 0..3.
-        input_output_aliases={4 + i: i for i in range(4)},
+        input_output_aliases={5 + i: i for i in range(4)},
         cost_estimate=pl.CostEstimate(
             flops=2 * steps * chains * (win_x * s * s * C + win_y * win_x * s * C),
             bytes_accessed=2 * steps * chains * win_y * win_x * C * 4,
             transcendentals=0,
         ),
-    )(img_a, lvl_a, y0_a, x0_a, *zeros, dout_a, tyT, txT)
+    )(img_a, lvl_a, y0_a, x0_a, cls_a, *zeros, dout_a, tyT, txT)
     grads = [o[:, :h, :w, :] for o, (h, w) in zip(outs, feat_shapes)]
     return grads, oversized
 

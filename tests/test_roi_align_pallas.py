@@ -87,11 +87,19 @@ def test_pallas_budget_escape_hatch(rng):
     np.testing.assert_allclose(ours, _expected(feats, boxes), atol=2e-5)
 
 
-def test_fused_vjp_matches_quad_grads(rng):
+def test_fused_vjp_matches_quad_grads(rng, monkeypatch):
     """multiscale_roi_align_fused: the window-RMW backward kernel (plus the
     oversized take-VJP fallback) must match autodiff through the XLA quad
-    formulation exactly (both are exact linear-operator transposes)."""
+    formulation exactly (both are exact linear-operator transposes).
+
+    kernel_backend() is forced True so the PALLAS kernels run (interpreted)
+    — without it the sharded wrapper would silently test the CPU take-VJP
+    fallback against itself."""
+    import detectinblur_tpu.ops.roi_align_pallas as rap
     from detectinblur_tpu.ops.roi_align_pallas import multiscale_roi_align_fused
+
+    monkeypatch.setattr(rap, "kernel_backend", lambda: True)
+    monkeypatch.setattr(rap, "_CP_CACHE", {})
 
     B, R = 2, 6
     feats = _feats(rng, B)
@@ -101,11 +109,18 @@ def test_fused_vjp_matches_quad_grads(rng):
     boxes[..., 2] = boxes[..., 0] + rng.uniform(8, 90, (B, R))
     boxes[..., 3] = boxes[..., 1] + rng.uniform(8, 90, (B, R))
     # Overlapping rois in one image stress the sequential accumulation;
-    # one oversized wide sliver exercises the take-VJP fallback.
+    # one oversized wide sliver exercises the take-VJP fallback; a tiny
+    # roi lands in the small window class.
     boxes[0, 1] = boxes[0, 0] + np.array([4, 4, 4, 4], np.float32)
     boxes[0, 2] = [0.0, 60.0, 318.0, 70.0]
+    boxes[1, 3] = [40.0, 40.0, 52.0, 52.0]
     boxes = jnp.asarray(boxes)
-    w = jnp.asarray(rng.random((B, R, 7, 7, 8), dtype=np.float32))
+    w = np.asarray(rng.random((B, R, 7, 7, 8), dtype=np.float32))
+    # Exactly-zero cotangents for two rois exercise the class-0 skip
+    # (padded/unsampled slots in the train step look like this).
+    w[0, 4] = 0.0
+    w[1, 0] = 0.0
+    w = jnp.asarray(w)
 
     def quad_loss(fs):
         out = jnp.stack([
