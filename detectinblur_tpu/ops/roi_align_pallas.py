@@ -56,9 +56,9 @@ SAMPLES = 14          # 7 bins x 2 sampling points per axis
 OVERSIZED_K = 2048
 
 
-def _kernel_factory(rps, win_y, win_x, n_steps, out_size, win_dtype):
+def _kernel_factory(rps, win_y, win_x, wins, n_steps, out_size, win_dtype):
 
-    def kernel(img_ref, lvl_ref, y0_ref, x0_ref,                # scalar [N]
+    def kernel(img_ref, lvl_ref, y0_ref, x0_ref, cls_ref,       # scalar [N]
                p2, p3, p4, p5,                                  # ANY levels
                ty_ref, tx_ref,                                  # VMEM blocks
                out_ref,                                         # VMEM block
@@ -67,25 +67,37 @@ def _kernel_factory(rps, win_y, win_x, n_steps, out_size, win_dtype):
         C = out_ref.shape[-1]
         levels = (p2, p3, p4, p5)
 
-        def dma(slot, si, k, li):
+        def dma(slot, si, k, li, cl):
             n = si * rps + k
+            wy, wx = wins[cl]
             return pltpu.make_async_copy(
-                levels[li].at[img_ref[n], pl.ds(y0_ref[n], win_y),
-                              pl.ds(pl.multiple_of(x0_ref[n], 8), win_x), :],
-                win.at[slot, k],
+                levels[li].at[img_ref[n], pl.ds(y0_ref[n], wy),
+                              pl.ds(pl.multiple_of(x0_ref[n], 8), wx), :],
+                win.at[slot, k, :wy, :wx],
                 sems.at[slot, k],
             )
 
+        # Class 0 rois (grid-padding slots) start and wait NO dma: their
+        # selection rows are zero, so they read only stale-but-finite
+        # window bytes (the step-0 scrub below guarantees finiteness).
+        def each_dma(slot, si, k, fn):
+            n = si * rps + k
+            for li in range(4):
+                for cl in (1, 2):
+                    @pl.when((lvl_ref[n] == li) & (cls_ref[n] == cl))
+                    def _():
+                        fn(dma(slot, si, k, li, cl))
+
         def start_dmas(slot, si):
             for k in range(rps):
-                n = si * rps + k
-                for li in range(4):
-                    @pl.when(lvl_ref[n] == li)
-                    def _():
-                        dma(slot, si, k, li).start()
+                each_dma(slot, si, k, lambda d: d.start())
 
         @pl.when(step == 0)
         def _():
+            # Scrub the scratch once: small-class windows leave the outer
+            # region stale, and uninitialized VMEM could hold non-finite
+            # bit patterns that would poison 0-weight selection matmuls.
+            win[...] = jnp.zeros(win.shape, win.dtype)
             start_dmas(0, 0)
 
         @pl.when(step + 1 < n_steps)
@@ -93,10 +105,7 @@ def _kernel_factory(rps, win_y, win_x, n_steps, out_size, win_dtype):
             start_dmas((step + 1) % 2, step + 1)
 
         for k in range(rps):
-            for li in range(4):
-                @pl.when(lvl_ref[step * rps + k] == li)
-                def _():
-                    dma(step % 2, step, k, li).wait()
+            each_dma(step % 2, step, k, lambda d: d.wait())
 
         # Block-diagonal pre-binned selection matrices [rps*7, rps*WIN].
         ty = ty_ref[:].astype(win_dtype)      # [rps, 7, win_y]
@@ -202,21 +211,32 @@ def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
     N = flat_boxes.shape[0]
     C = pads[0].shape[-1]
 
-    lvl, y0, x0, ty, tx, oversized, _ = _window_geometry(
+    lvl, y0, x0, ty, tx, oversized, (ey, ex) = _window_geometry(
         flat_boxes, sizes, scales, win_y, win_x, s, g, pad_y, pad_x)
+
+    # Size classes (see _kernel_factory): most trained-RPN rois fit a
+    # [win-16, win-16] sub-window (the level mapper keeps sample extents
+    # near 14 cells), nearly halving the window DMA traffic.
+    wy2, wx2 = max(8, win_y - 16), max(8, win_x - 16)
+    wins = ((8, 8), (wy2, wx2), (win_y, win_x))
+    small = (ey <= wy2 - 2) & (ex <= wx2 - 2) & ~oversized
+    cls = jnp.where(small, 1, 2).astype(jnp.int32)
 
     n_steps = pl.cdiv(N, rps)
     pad_n = n_steps * rps - N
-    img_p, lvl_p, y0_p, x0_p, ty_p, tx_p = img_idx, lvl, y0, x0, ty, tx
+    img_p, lvl_p, y0_p, x0_p, cls_p, ty_p, tx_p = (
+        img_idx, lvl, y0, x0, cls, ty, tx)
     if pad_n:
         def padn(a):
+            # Padding slots get class 0: no window DMA at all (their
+            # selection rows are zero and their outputs are sliced off).
             return jnp.concatenate([a, jnp.zeros((pad_n, *a.shape[1:]),
                                                  a.dtype)])
-        img_p, lvl_p, y0_p, x0_p, ty_p, tx_p = map(
-            padn, (img_p, lvl_p, y0_p, x0_p, ty_p, tx_p))
+        img_p, lvl_p, y0_p, x0_p, cls_p, ty_p, tx_p = map(
+            padn, (img_p, lvl_p, y0_p, x0_p, cls_p, ty_p, tx_p))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(n_steps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [
             pl.BlockSpec((rps, s, win_y),
@@ -233,7 +253,7 @@ def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
         ],
     )
 
-    kernel = _kernel_factory(rps, win_y, win_x, n_steps, s, win_dtype)
+    kernel = _kernel_factory(rps, win_y, win_x, wins, n_steps, s, win_dtype)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -243,7 +263,7 @@ def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
             bytes_accessed=n_steps * rps * win_y * win_x * C * 2,
             transcendentals=0,
         ),
-    )(img_p, lvl_p, y0_p, x0_p, *pads, ty_p, tx_p)
+    )(img_p, lvl_p, y0_p, x0_p, cls_p, *pads, ty_p, tx_p)
     return out[:N], oversized
 
 
