@@ -1,9 +1,11 @@
 """PSF bank pre-generation CLI (generate_PSFs.py equivalent — including the
 fix for its NameError on `path`, generate_PSFs.py:69,75).
 
-Writes fp16 .npy files P{p}E{e}/I{idx:06d} like the reference's stored-PSF
-layout (transforms.py:301-309), but generates on-device with one vmapped
-sweep instead of 12 sliced CPU processes."""
+Writes fp16 npy-format files P{p}E{e}/I{idx:06d} — extensionless, exactly
+like the reference's ``open(filePath,'wb'); np.save(f, ...)``
+(generate_PSFs.py:88-91) so banks interoperate both ways
+(transforms.py:301-309 loads the same names) — but generates on-device
+with one vmapped sweep instead of 12 sliced CPU processes."""
 
 from __future__ import annotations
 

@@ -74,7 +74,16 @@ def main(argv=None):
     if args.dataset == "GOPROBlurEst":
         # Natural-blur estimator data: pre-blurred images with stored class
         # labels (custom_datasets.py:1074-1231); the blur stage passes them
-        # through and labels come from blur_est_label.
+        # through and labels come from blur_est_label. The stored labels are
+        # LEHE-class labels and only the LEHE label path consults them
+        # (engine_blur_estimator.py:111-112); the 16-class path would
+        # silently train on all-zero labels.
+        if not args.LEHE_blur_seg:
+            raise SystemExit(
+                "--dataset GOPROBlurEst requires --LEHE_blur_seg: its stored "
+                "blur_est_label values are LEHE classes and the 16-class "
+                "label derivation ignores them (all items are pre-blurred, "
+                "so every 16-class label would be 0).")
         from detectinblur_tpu.data.natural_datasets import GOPROBlurEst
 
         dataset = GOPROBlurEst(args.data_path, "train")

@@ -345,7 +345,10 @@ class GOPROBlurEst:
 
 def get_natural_dataset(name: str, root_dir: str, **kw):
     """evaluate.py --blurred_dataset dispatch."""
+    # GOPROBlurEst is deliberately absent: it is a classification dataset
+    # (estimator labels, no detection eval) consumed directly by
+    # cli/train_blur_estimator.py with explicit train/val splits.
     table = {"GOPRO": GOPRO, "VidBlur": VidBlur, "RealBlur": RealBlur,
              "REDS": REDS, "GOPROSynth": GOPROSynth,
-             "GOPROSynthLoad": GOPROSynthLoad, "GOPROBlurEst": GOPROBlurEst}
+             "GOPROSynthLoad": GOPROSynthLoad}
     return table[name](root_dir, **kw)

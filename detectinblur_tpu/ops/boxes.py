@@ -168,7 +168,11 @@ def update_boxes_from_masks(boxes, masks, threshold: float = 0.1):
     """Recompute each box as the extents of its mask's >threshold support
     (utils.py:436-458). Empty masks keep their original box. Fixed-shape:
     boxes [N, 4], masks [N, H, W]; index extents via masked min/max, so it
-    jits (no data-dependent nonzero)."""
+    jits (no data-dependent nonzero).
+
+    Exposed-but-uncalled parity: the reference defines this helper and
+    never calls it anywhere either (grep: utils.py:436 is the only hit);
+    it is public API surface, available for the same manual workflows."""
     masks = jnp.asarray(masks)
     boxes = jnp.asarray(boxes)
     on = masks > threshold

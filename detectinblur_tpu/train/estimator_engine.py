@@ -60,6 +60,19 @@ def apply_corruptions(key, images, add_noise=False, noise_level=0.001,
     return images
 
 
+def estimator_resize_canvas(Hb: int, Wb: int, aspect_cap: float = 2.0):
+    """Static canvas fitting the min-side-800 resize of ANY image in the
+    (Hb, Wb) bucket with aspect ratio up to ``aspect_cap``. pick_bucket
+    assigns by size, not strictly orientation, so either side may be the
+    short one — the canvas is square. Images beyond the cap (rare) are
+    clamped to fit; everything else blurs at exactly min-side 800 like the
+    reference (engine_blur_estimator.py:27-70)."""
+    side = -(-int(round(800 * aspect_cap)) // 32) * 32
+    bucket_fit = -(-int(round(800 * max(Hb, Wb) / min(Hb, Wb))) // 32) * 32
+    side = max(side, bucket_fit)
+    return side, side
+
+
 def blur_batch_images(batch: BlurBatch, resize_images: bool = False) -> jax.Array:
     """Device blur of the batch, optionally at min-side-800 resolution.
 
@@ -79,9 +92,7 @@ def blur_batch_images(batch: BlurBatch, resize_images: bool = False) -> jax.Arra
         return jnp.transpose(blurred, (0, 2, 3, 1))
 
     Hb, Wb = batch.images.shape[1:3]
-    rs = 800.0 / min(Hb, Wb)
-    RH = -(-int(round(Hb * rs)) // 32) * 32
-    RW = -(-int(round(Wb * rs)) // 32) * 32
+    RH, RW = estimator_resize_canvas(Hb, Wb)
 
     def up(img, s):
         h = s[0].astype(jnp.float32)

@@ -141,6 +141,26 @@ def test_blur_batch_images_resize_roundtrip():
                                   np.asarray(batch.images[1]))
 
 
+def test_estimator_resize_canvas_honors_min_side_800():
+    """Regression: the blur canvas must never clamp the min-side-800 scale
+    for images whose aspect differs from the bucket's (finding: (427, 640)
+    in a (480, 640) bucket was blurred at min-side 726). For any hw with
+    aspect <= 2 the scale min(800/min(h,w), RH/h, RW/w) must equal
+    800/min(h,w) exactly."""
+    from detectinblur_tpu.train.estimator_engine import estimator_resize_canvas
+
+    for Hb, Wb in [(480, 640), (640, 480), (672, 672), (512, 672)]:
+        RH, RW = estimator_resize_canvas(Hb, Wb)
+        assert RH % 32 == 0 and RW % 32 == 0
+        for h, w in [(427, 640), (Hb, Wb), (240, 480), (480, 240),
+                     (333, 640), (505, 510)]:
+            if h > Hb or w > Wb or max(h, w) / min(h, w) > 2.0:
+                continue
+            target = 800.0 / min(h, w)
+            sc = min(target, RH / h, RW / w)
+            assert sc == target, (Hb, Wb, h, w, sc, target)
+
+
 def test_preprocess_batch_crop_and_normalize_toggles():
     """crop_images batches to the min /32 extent with zeros beyond
     (net_transforms.py:218-247); normalize=False skips mean/std
