@@ -34,22 +34,49 @@ A100_X2_TARGET = 50.0  # img/s; see module docstring
 _RETRIES, _RETRY_SLEEP_S = 8, 180
 
 
-def _require_backend():
+def _retry(e) -> None:
+    """Re-exec with a bumped attempt counter (a failed backend init is
+    cached for the process lifetime), or re-raise when out of budget."""
     attempt = int(os.environ.get("DETECTINBLUR_BENCH_ATTEMPT", "0"))
+    if attempt + 1 >= _RETRIES:
+        raise e
+    print(f"bench attempt {attempt + 1}/{_RETRIES} failed, "
+          f"retrying in {_RETRY_SLEEP_S}s: {e!r}", file=sys.stderr)
+    time.sleep(_RETRY_SLEEP_S)
+    os.environ["DETECTINBLUR_BENCH_ATTEMPT"] = str(attempt + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+def _require_backend():
+    # jax.devices() against a dropped relay can HANG (observed >160s), not
+    # just raise — bound it with SIGALRM so the retry loop still engages.
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError("backend discovery timed out")
+
+    old = signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(240)
     try:
         jax.devices()
-    except RuntimeError as e:
-        if attempt + 1 >= _RETRIES:
-            raise
-        print(f"backend init failed (attempt {attempt + 1}/{_RETRIES}), "
-              f"retrying in {_RETRY_SLEEP_S}s: {e}", file=sys.stderr)
-        time.sleep(_RETRY_SLEEP_S)
-        os.environ["DETECTINBLUR_BENCH_ATTEMPT"] = str(attempt + 1)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+    except (RuntimeError, TimeoutError) as e:
+        signal.alarm(0)
+        _retry(e)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def main():
     _require_backend()
+    try:
+        _run()
+    except jax.errors.JaxRuntimeError as e:
+        # Relay drops mid-compile/run surface here; re-exec retries them.
+        _retry(e)
+
+
+def _run():
     from detectinblur_tpu.models.faster_rcnn import FasterRCNN, FasterRCNNConfig
     from detectinblur_tpu.ops.blur import batched_blur
     from detectinblur_tpu.ops.psf import sample_psf
