@@ -12,9 +12,9 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--data-path", "--data_path", dest="data_path",
                    default="/data/coco")
     p.add_argument("-j", "--workers", default=4, type=int,
-                   help="accepted for CLI parity; the loader is "
-                        "synchronous (device-side blur replaces the "
-                        "reference's worker-pool blur)")
+                   help="loader decode/augment threads (device-side blur "
+                        "replaces the reference's worker-pool blur, so "
+                        "workers only cover image fetch + host transforms)")
     p.add_argument("--device", default="tpu",
                    help="accepted for CLI parity; devices come from the "
                         "JAX platform (JAX_PLATFORMS)")

@@ -103,7 +103,7 @@ def run_cell(args, model, params, dataset_val, policy, psf_bank,
     loader = DetectionLoader(
         dataset_val, 1, policy, psf_bank, shuffle=False,
         num_processes=jax.process_count(), process_index=jax.process_index(),
-        drop_last=False,
+        drop_last=False, num_workers=args.workers,
     )
     blur = policy.prob > 0
     eval_steps = {}
@@ -240,7 +240,8 @@ def main(argv=None):
                                  shuffle=False, drop_last=False,
                                  source_buckets=((736, 1312),),
                                  num_processes=jax.process_count(),
-                                 process_index=jax.process_index())
+                                 process_index=jax.process_index(),
+                                 num_workers=args.workers)
         eval_steps = {}
 
         def eval_step(p, batch):

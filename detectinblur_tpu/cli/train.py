@@ -156,6 +156,7 @@ def main(argv=None):
         dataset, args.batch_size, policy, psf_bank, shuffle=True,
         hflip_prob=0.5, num_processes=jax.process_count(),
         process_index=jax.process_index(), augmix=augmix_cfg,
+        num_workers=args.workers,
     )
 
     bn_mode = "train" if args.unfrozen_batch_norm else None
@@ -212,6 +213,7 @@ def main(argv=None):
                 psf_bank if blur else None,
                 shuffle=False, num_processes=jax.process_count(),
                 process_index=jax.process_index(), drop_last=False,
+                num_workers=args.workers,
             )
             eval_steps = {}
 

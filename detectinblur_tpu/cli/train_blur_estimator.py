@@ -94,7 +94,8 @@ def main(argv=None):
     loader = DetectionLoader(dataset, args.batch_size, policy, bank,
                              shuffle=True, hflip_prob=0.5,
                              num_processes=jax.process_count(),
-                             process_index=jax.process_index())
+                             process_index=jax.process_index(),
+                             num_workers=args.workers)
 
     variables = classifier.init(jax.random.key(0),
                                 np.zeros((1, 224, 224, 3), np.float32))
@@ -159,7 +160,8 @@ def main(argv=None):
         val_loader = DetectionLoader(dataset_val, args.batch_size, policy, bank,
                                      shuffle=False, drop_last=False,
                                      num_processes=jax.process_count(),
-                                     process_index=jax.process_index())
+                                     process_index=jax.process_index(),
+                                     num_workers=args.workers)
         eval_steps = {}
         preds, labels, top2 = [], [], []
         for it, (batch, bucket, _) in enumerate(val_loader):

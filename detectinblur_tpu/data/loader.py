@@ -2,14 +2,21 @@
 
 Replaces DataLoader + DistributedSampler + GroupedBatchSampler
 (train.py:186-215): per-host id sharding, per-epoch reshuffle
-(set_epoch semantics), orientation bucketing, and background assembly of
-fixed-shape BlurBatch structs so the device never waits on image decode.
+(set_epoch semantics), orientation bucketing, ``num_workers`` decode/augment
+threads (the DataLoader worker-pool equivalent — image decode and AugMix
+release the GIL), and background assembly of fixed-shape BlurBatch structs
+so the device never waits on image decode.
+
+Per-item randomness (AugMix, hflip, blur decision) is drawn from an RNG
+keyed on (seed, epoch, host, position-in-epoch), so batches are bit-identical
+for any worker count and any prefetch depth.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -40,6 +47,7 @@ class DetectionLoader:
         prefetch: int = 2,
         drop_last: bool = True,
         augmix: Optional[dict] = None,
+        num_workers: int = 0,
     ):
         """``augmix``: kwargs for data.augmix.augment_and_mix (positional,
         modify_target_boxes, ...) — the --non_pos_aug_mix /
@@ -63,6 +71,7 @@ class DetectionLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.augmix = augmix
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -81,57 +90,90 @@ class DetectionLoader:
     def __len__(self):
         return len(self._epoch_indices()) // self.batch_size
 
-    def _produce(self, out_q: "queue.Queue"):
+    def _prepare(self, pos: int, index: int):
+        """Fetch + augment one item with its own (seed, epoch, host, pos) RNG.
+
+        Self-contained so a worker pool can run many concurrently with
+        results identical to the sequential path."""
         rng = np.random.default_rng(
-            (self.seed + self.epoch) * 131071 + self.process_index * 1337
-        )
-        pending: Dict[Tuple[int, int], List] = {b: [] for b in self.buckets}
+            [abs(self.seed + self.epoch), self.process_index, pos])
         bank_size = self.psf_bank.shape[2] if self.psf_bank is not None else 1
+        item = self.dataset[int(index)]
+        if self.augmix is not None:
+            from detectinblur_tpu.data.augmix import augment_and_mix
+
+            mixed, boxes, masks = augment_and_mix(
+                item["image"], rng, boxes=item["boxes"],
+                masks=item.get("masks"), **self.augmix)
+            item = dict(item, image=mixed,
+                        boxes=boxes if boxes is not None else item["boxes"])
+            if masks is not None:
+                item["masks"] = masks
+        if self.hflip_prob > 0 and rng.random() < self.hflip_prob:
+            item = hflip_item(item)
+        h, w = item["image"].shape[:2]
+        bucket = pick_bucket(h, w, self.buckets)
+        # Oversized images are top-left-cropped to the largest
+        # bucket; GT boxes are clipped to the crop and boxes left
+        # degenerate by it are dropped.
+        if h > bucket[0] or w > bucket[1]:
+            item = dict(item, image=item["image"][: bucket[0], : bucket[1]])
+            if len(item["boxes"]):
+                boxes = item["boxes"].copy()
+                boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, bucket[1])
+                boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, bucket[0])
+                keep = ((boxes[:, 2] > boxes[:, 0])
+                        & (boxes[:, 3] > boxes[:, 1]))
+                item["boxes"] = boxes[keep]
+                for k in ("labels", "area", "iscrowd"):
+                    if k in item:
+                        item[k] = item[k][keep]
+                if "masks" in item:
+                    item["masks"] = item["masks"][keep, : bucket[0],
+                                                  : bucket[1]]
+            elif "masks" in item:
+                item["masks"] = item["masks"][:, : bucket[0], : bucket[1]]
+        if item.get("pre_blurred"):
+            # Natural-blur images pass through the blur stage
+            # untouched (transforms.py:225-235).
+            from detectinblur_tpu.data.blur_sampling import BlurDecision
+
+            dec = BlurDecision(False, -1, -1, 0)
+        else:
+            dec = sample_blur_decision(rng, self.policy, bank_size)
+        return item, dec, bucket
+
+    def _prepared_items(self) -> Iterator:
+        """Yield prepared (item, dec, bucket) in epoch order, fanning the
+        per-item work over ``num_workers`` threads when asked (image decode,
+        AugMix, and PSF-bank reads all release the GIL)."""
+        indices = self._epoch_indices()
+        if self.num_workers <= 1:
+            for pos, i in enumerate(indices):
+                yield self._prepare(pos, int(i))
+            return
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window = self.num_workers * 2
+            futures: "queue.SimpleQueue" = queue.SimpleQueue()
+            it = iter(enumerate(indices))
+            in_flight = 0
+            for pos, i in it:
+                futures.put(pool.submit(self._prepare, pos, int(i)))
+                in_flight += 1
+                if in_flight == window:
+                    break
+            while in_flight:
+                yield futures.get().result()
+                in_flight -= 1
+                for pos, i in it:
+                    futures.put(pool.submit(self._prepare, pos, int(i)))
+                    in_flight += 1
+                    break
+
+    def _produce(self, out_q: "queue.Queue"):
+        pending: Dict[Tuple[int, int], List] = {b: [] for b in self.buckets}
         try:
-            for i in self._epoch_indices():
-                item = self.dataset[int(i)]
-                if self.augmix is not None:
-                    from detectinblur_tpu.data.augmix import augment_and_mix
-
-                    mixed, boxes, masks = augment_and_mix(
-                        item["image"], rng, boxes=item["boxes"],
-                        masks=item.get("masks"), **self.augmix)
-                    item = dict(item, image=mixed,
-                                boxes=boxes if boxes is not None else item["boxes"])
-                    if masks is not None:
-                        item["masks"] = masks
-                if self.hflip_prob > 0 and rng.random() < self.hflip_prob:
-                    item = hflip_item(item)
-                h, w = item["image"].shape[:2]
-                bucket = pick_bucket(h, w, self.buckets)
-                # Oversized images are top-left-cropped to the largest
-                # bucket; GT boxes are clipped to the crop and boxes left
-                # degenerate by it are dropped.
-                if h > bucket[0] or w > bucket[1]:
-                    item = dict(item, image=item["image"][: bucket[0], : bucket[1]])
-                    if len(item["boxes"]):
-                        boxes = item["boxes"].copy()
-                        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, bucket[1])
-                        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, bucket[0])
-                        keep = ((boxes[:, 2] > boxes[:, 0])
-                                & (boxes[:, 3] > boxes[:, 1]))
-                        item["boxes"] = boxes[keep]
-                        for k in ("labels", "area", "iscrowd"):
-                            if k in item:
-                                item[k] = item[k][keep]
-                        if "masks" in item:
-                            item["masks"] = item["masks"][keep, : bucket[0],
-                                                          : bucket[1]]
-                    elif "masks" in item:
-                        item["masks"] = item["masks"][:, : bucket[0], : bucket[1]]
-                if item.get("pre_blurred"):
-                    # Natural-blur images pass through the blur stage
-                    # untouched (transforms.py:225-235).
-                    from detectinblur_tpu.data.blur_sampling import BlurDecision
-
-                    dec = BlurDecision(False, -1, -1, 0)
-                else:
-                    dec = sample_blur_decision(rng, self.policy, bank_size)
+            for item, dec, bucket in self._prepared_items():
                 pending[bucket].append((item, dec))
                 if len(pending[bucket]) == self.batch_size:
                     items, decs = zip(*pending[bucket])

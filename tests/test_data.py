@@ -125,6 +125,35 @@ def test_loader_epoch_reshuffle(rng):
     assert ids0 != ids1
 
 
+def test_loader_workers_bit_identical(rng):
+    """num_workers fans decode/augment over threads; per-item RNG keyed on
+    (seed, epoch, host, position) keeps batches bit-identical to the
+    sequential path — blur decisions, hflips, and PSF picks included."""
+    ds = FakeDataset(rng, n=12)
+    bank = rng.random((3, 5, 4, 128, 128)).astype(np.float32)
+
+    def run(workers):
+        loader = DetectionLoader(ds, batch_size=2,
+                                 policy=BlurPolicy(prob=0.7), psf_bank=bank,
+                                 source_buckets=((160, 200),),
+                                 hflip_prob=0.5, num_workers=workers)
+        loader.set_epoch(3)
+        return list(loader)
+
+    seq, par = run(0), run(4)
+    assert len(seq) == len(par) == 6
+    for (b0, bk0, ids0), (b1, bk1, ids1) in zip(seq, par):
+        assert bk0 == bk1 and ids0 == ids1
+        np.testing.assert_array_equal(np.asarray(b0.images),
+                                      np.asarray(b1.images))
+        np.testing.assert_array_equal(np.asarray(b0.psfs),
+                                      np.asarray(b1.psfs))
+        np.testing.assert_array_equal(np.asarray(b0.blurring),
+                                      np.asarray(b1.blurring))
+        np.testing.assert_array_equal(np.asarray(b0.gt_boxes),
+                                      np.asarray(b1.gt_boxes))
+
+
 def test_load_psf_bank_from_reference_layout(tmp_path):
     """Stored-PSF loading (--use_stored_psfs --stored_psf_directory).
 
