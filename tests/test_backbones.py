@@ -164,3 +164,105 @@ def test_build_model_dispatch():
     with pytest.raises(ValueError):
         build_model(types.SimpleNamespace(model="yolo9000",
                                           warp_in_model=False))
+
+
+# ---- synthetic-layout converter tests (always run; torchvision-free) ----
+# State dicts fabricated from the public torchvision architecture tables
+# (tests/synthetic_torch.py), so the converters are exercised in
+# environments without torchvision. The live-torchvision variants above
+# remain the stronger check where available.
+
+def test_mobilenet_converter_synthetic_layout():
+    from synthetic_torch import synthetic_mobilenet_v2_state_dict
+    from detectinblur_tpu.utils.torch_convert import (
+        assert_tree_shapes_match,
+        convert_mobilenet_v2_features,
+    )
+
+    sd = synthetic_mobilenet_v2_state_dict()
+    torso, stats = convert_mobilenet_v2_features(sd)
+    model = SingleMapFasterRCNN(tiny_cfg("mobile_net"))
+    init_p = model.init(jax.random.key(0), bucket=(96, 128))
+    init_s = model.init_stats((96, 128))
+    assert_tree_shapes_match(torso, init_p["backbone"])
+    assert_tree_shapes_match(stats, init_s["backbone"])
+    # Conv kernels transpose OIHW -> HWIO with values preserved.
+    np.testing.assert_allclose(
+        np.asarray(torso["stem_conv"]["kernel"]),
+        np.transpose(sd["features.0.0.weight"], (2, 3, 1, 0)))
+
+
+@pytest.mark.parametrize("frozen", [True, False])
+def test_resnet_trunk_converter_synthetic_layout(frozen):
+    from synthetic_torch import synthetic_resnet_state_dict
+    from detectinblur_tpu.utils.torch_convert import (
+        assert_tree_shapes_match,
+        convert_resnet_trunk_state_dict,
+    )
+
+    sd = synthetic_resnet_state_dict("resnet18")
+    torso, stats = convert_resnet_trunk_state_dict(sd, arch="resnet18",
+                                                   frozen_bn=frozen)
+    cfg = tiny_cfg("resnet18", bn_mode=None if frozen else "train")
+    model = SingleMapFasterRCNN(cfg)
+    init_p = model.init(jax.random.key(0), bucket=(96, 128))
+    assert_tree_shapes_match(torso, init_p["backbone"])
+    if frozen:
+        assert stats is None
+        # Folded FrozenBN: scale = w/sqrt(var+eps), bias = b - mean*scale.
+        scale = np.asarray(torso["bn1"]["scale"])
+        expect = sd["bn1.weight"] / np.sqrt(sd["bn1.running_var"])
+        np.testing.assert_allclose(scale, expect, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(torso["bn1"]["bias"]),
+            sd["bn1.bias"] - sd["bn1.running_mean"] * expect, rtol=1e-5)
+    else:
+        init_s = model.init_stats((96, 128))
+        assert_tree_shapes_match(stats, init_s["backbone"])
+
+
+def test_resnet_classifier_converter_synthetic_layout():
+    from synthetic_torch import synthetic_resnet_state_dict
+    from detectinblur_tpu.models.classifier import ResNetClassifier
+    from detectinblur_tpu.utils.torch_convert import (
+        assert_tree_shapes_match,
+        convert_resnet_classifier_state_dict,
+    )
+
+    sd = synthetic_resnet_state_dict("resnet18")
+    params, stats = convert_resnet_classifier_state_dict(sd, include_fc=True)
+    clf = ResNetClassifier("resnet18", num_classes=1000)
+    variables = clf.init(jax.random.key(0),
+                         np.zeros((1, 64, 64, 3), np.float32))
+    assert_tree_shapes_match(params, variables["params"])
+    assert_tree_shapes_match(stats, variables["batch_stats"])
+
+
+def test_fasterrcnn_converter_synthetic_layout():
+    from synthetic_torch import synthetic_fasterrcnn_state_dict
+    from detectinblur_tpu.models.faster_rcnn import FasterRCNN, FasterRCNNConfig
+    from detectinblur_tpu.utils.torch_convert import (
+        assert_tree_shapes_match,
+        convert_fasterrcnn_state_dict,
+        convert_fasterrcnn_bn_stats,
+    )
+
+    sd = synthetic_fasterrcnn_state_dict()
+    tree = convert_fasterrcnn_state_dict(sd)
+    model = FasterRCNN(FasterRCNNConfig(min_size=96, max_size=128,
+                                        rpn=TINY_RPN, box=TINY_BOX))
+    init_p = model.init(jax.random.key(0), bucket=(96, 128))
+    assert_tree_shapes_match(tree, init_p)
+    # fc weights transpose [out, in] -> [in, out].
+    np.testing.assert_allclose(
+        np.asarray(tree["box_head"]["fc6"]["kernel"]),
+        np.transpose(sd["roi_heads.box_head.fc6.weight"]))
+    # Unfrozen path returns real BN params + a parallel stats tree.
+    tree_bn = convert_fasterrcnn_state_dict(sd, frozen_bn=False)
+    stats = convert_fasterrcnn_bn_stats(sd)
+    model_bn = FasterRCNN(FasterRCNNConfig(min_size=96, max_size=128,
+                                           rpn=TINY_RPN, box=TINY_BOX,
+                                           bn_mode="acclimation"))
+    init_bn = model_bn.init(jax.random.key(0), bucket=(96, 128))
+    assert_tree_shapes_match(tree_bn, init_bn)
+    assert_tree_shapes_match(stats, model_bn.init_stats())
