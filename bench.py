@@ -90,8 +90,16 @@ def _run():
     model = FasterRCNN(cfg)
     params = model.init(jax.random.key(0), bucket=bucket)
 
+    iters = 10
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.random((B, src_h, src_w, 3), np.float32))
+    # Distinct pre-staged inputs per iteration: the TPU relay can elide
+    # repeat executions of an identical pure (program, args) pair, which
+    # would make a fixed-input loop read near-0 ms. Fresh images each step
+    # also matches real serving (no producer stalls are measured here;
+    # the loader overlaps them — see data/loader.py).
+    image_sets = [jnp.asarray(rng.random((B, src_h, src_w, 3), np.float32))
+                  for _ in range(iters + 1)]
+    warmup_images, image_sets = image_sets[0], image_sets[1:]
     hw = jnp.tile(jnp.asarray([[src_h, src_w]]), (B, 1))
     keys = jax.random.split(jax.random.key(1), B)
     psfs = jax.vmap(lambda k: sample_psf(k, expl=0.005, fraction=0.5))(keys)
@@ -106,12 +114,11 @@ def _run():
         return det.boxes, det.scores, det.labels, det.valid
 
     # Warmup / compile.
-    out = blur_detect(params, images, hw, psfs, blurring)
+    out = blur_detect(params, warmup_images, hw, psfs, blurring)
     jax.block_until_ready(out)
 
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for images in image_sets:
         out = blur_detect(params, images, hw, psfs, blurring)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
