@@ -48,23 +48,12 @@ def _retry(e) -> None:
 
 
 def _require_backend():
-    # jax.devices() against a dropped relay can HANG (observed >160s), not
-    # just raise — bound it with SIGALRM so the retry loop still engages.
-    import signal
+    from detectinblur_tpu.utils.backend import bounded_devices
 
-    def _timeout(signum, frame):
-        raise TimeoutError("backend discovery timed out")
-
-    old = signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(240)
     try:
-        jax.devices()
+        bounded_devices()
     except (RuntimeError, TimeoutError) as e:
-        signal.alarm(0)
         _retry(e)
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
 
 
 def main():
@@ -92,34 +81,34 @@ def _run():
 
     iters = 10
     rng = np.random.default_rng(0)
-    # Distinct pre-staged inputs per iteration: the TPU relay can elide
-    # repeat executions of an identical pure (program, args) pair, which
-    # would make a fixed-input loop read near-0 ms. Fresh images each step
-    # also matches real serving (no producer stalls are measured here;
-    # the loader overlaps them — see data/loader.py).
-    image_sets = [jnp.asarray(rng.random((B, src_h, src_w, 3), np.float32))
-                  for _ in range(iters + 1)]
-    warmup_images, image_sets = image_sets[0], image_sets[1:]
+    images = jnp.asarray(rng.random((B, src_h, src_w, 3), np.float32))
     hw = jnp.tile(jnp.asarray([[src_h, src_w]]), (B, 1))
     keys = jax.random.split(jax.random.key(1), B)
     psfs = jax.vmap(lambda k: sample_psf(k, expl=0.005, fraction=0.5))(keys)
     blurring = jnp.ones((B,), bool)
+    # Distinct inputs per iteration: the TPU relay can elide repeat
+    # executions of an identical pure (program, args) pair, which would make
+    # a fixed-input loop read near-0 ms. A per-iteration scalar jitter makes
+    # every (program, args) pair unique at zero extra HBM residency (staging
+    # 11 full batches instead measured the same 120 img/s, so the jitter add
+    # is not distorting the number).
+    jitters = [jnp.float32(1e-6 * (i + 1)) for i in range(iters + 1)]
 
     @jax.jit
-    def blur_detect(params, images, hw, psfs, blurring):
-        chw = jnp.transpose(images, (0, 3, 1, 2))
+    def blur_detect(params, images, jitter, hw, psfs, blurring):
+        chw = jnp.transpose(images + jitter, (0, 3, 1, 2))
         blurred = batched_blur(chw, psfs, blurring)
         imgs = jnp.transpose(blurred, (0, 2, 3, 1))
         det = model.predict(params, imgs, hw, bucket=bucket)
         return det.boxes, det.scores, det.labels, det.valid
 
     # Warmup / compile.
-    out = blur_detect(params, warmup_images, hw, psfs, blurring)
+    out = blur_detect(params, images, jitters[-1], hw, psfs, blurring)
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    for images in image_sets:
-        out = blur_detect(params, images, hw, psfs, blurring)
+    for i in range(iters):
+        out = blur_detect(params, images, jitters[i], hw, psfs, blurring)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

@@ -61,32 +61,14 @@ def make_ensemble_predict(
     None; (3) runs the selected specialist. Eval protocol is batch 1
     (evaluate.py uses batch_size=1), so one gather per step."""
     from detectinblur_tpu.models.detection_transform import preprocess_batch
-    from detectinblur_tpu.train.engine import (
-        _blur_norms,
-        apply_blur_and_expand,
-        derive_warp_params,
-    )
+    from detectinblur_tpu.train.engine import _blur_norms, prepare_eval_batch
 
     def predict(stacked_params, estimator_vars, batch, key=None):
-        if key is None:
-            key = jax.random.key(0)
-        key, bkey, dkey = jax.random.split(key, 3)
-        if blur_eval:
-            sigma = (jax.random.uniform(dkey, (batch.images.shape[0],),
-                                        minval=0.0, maxval=3.0)
-                     if dilate_psf else None)
-            batch = apply_blur_and_expand(
-                batch, expand_target_boxes, key=bkey, add_noise=add_noise,
-                noise_level=noise_level, add_block=add_block,
-                add_jpeg=add_jpeg, dilate_psf_sigma=sigma)
-        if deblur_vars is not None:
-            from detectinblur_tpu.models.deblur import deblur_image
-
-            deblurred = jax.vmap(lambda im: deblur_image(deblur_vars, im))(
-                batch.images)
-            batch = batch._replace(images=deblurred)
-        if use_warp:
-            batch = derive_warp_params(batch)
+        batch = prepare_eval_batch(
+            batch, key, blur_eval=blur_eval,
+            expand_target_boxes=expand_target_boxes, deblur_vars=deblur_vars,
+            add_noise=add_noise, noise_level=noise_level, add_block=add_block,
+            add_jpeg=add_jpeg, dilate_psf=dilate_psf, use_warp=use_warp)
         if estimator is None:
             idx = model_index_oracle(
                 batch.blurring, batch.param_index, batch.fraction_index

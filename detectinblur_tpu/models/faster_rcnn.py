@@ -61,6 +61,11 @@ class FasterRCNNConfig(NamedTuple):
     # box-head pooling at inference; exact at every tier (oversized rois
     # rerun through fat windows / the XLA quad escape inside the wrapper).
     pallas_roi_align: bool = True   # TPU-only; other backends use XLA quad
+    # Route RoIAlign through the custom_partitioning wrapper on non-TPU
+    # backends too (the partitioned body there is the exact XLA quad path),
+    # so CPU-mesh tests can drive the SPMD sharding rule. None = default
+    # from DETECTINBLUR_CP_ROIALIGN=1 at model construction.
+    cp_roi_align: Optional[bool] = None
 
 
 class Detections(NamedTuple):
@@ -75,6 +80,11 @@ class FasterRCNN:
     top-level keys backbone / rpn_head / box_head / box_predictor."""
 
     def __init__(self, config: FasterRCNNConfig = FasterRCNNConfig()):
+        import os
+
+        if config.cp_roi_align is None:
+            config = config._replace(
+                cp_roi_align=os.environ.get("DETECTINBLUR_CP_ROIALIGN") == "1")
         self.cfg = config
         if config.bn_mode is None:
             self.backbone = ResNetFPN(arch=config.arch)
@@ -179,11 +189,8 @@ class FasterRCNN:
         backends the partitioned body is the exact XLA quad path; the
         DETECTINBLUR_CP_ROIALIGN=1 env hook forces that route on CPU
         meshes so sharding tests can drive the partitioning rule."""
-        import os
-
         use = self.cfg.pallas_roi_align and (
-            jax.default_backend() in ("tpu", "axon")
-            or os.environ.get("DETECTINBLUR_CP_ROIALIGN") == "1")
+            jax.default_backend() in ("tpu", "axon") or self.cfg.cp_roi_align)
         if not use:
             return False, 0, 0
         import math

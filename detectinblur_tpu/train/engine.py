@@ -180,6 +180,47 @@ def _blur_norms(batch: BlurBatch, use_custom_norm: bool):
     return get_norm_params(batch.blurring, batch.param_index, batch.fraction_index)
 
 
+def prepare_eval_batch(
+    batch: BlurBatch,
+    key: Optional[jax.Array],
+    *,
+    blur_eval: bool = False,
+    expand_target_boxes: bool = False,
+    deblur_vars=None,
+    add_noise: bool = False,
+    noise_level: float = 0.001,
+    add_block: bool = False,
+    add_jpeg: bool = False,
+    dilate_psf: bool = False,
+    use_warp: bool = False,
+) -> BlurBatch:
+    """The shared eval preamble: blur + corruptions + GT expansion,
+    deblur-first, and warp-parameter derivation, in the reference's order
+    (engine.py:301-342). Single-model (``make_eval_step``) and ensemble
+    (``models/ensemble.py``) eval both run through here so the chains
+    cannot diverge."""
+    if key is None:
+        key = jax.random.key(0)
+    key, bkey, dkey = jax.random.split(key, 3)
+    if blur_eval:
+        sigma = (jax.random.uniform(dkey, (batch.images.shape[0],),
+                                    minval=0.0, maxval=3.0)
+                 if dilate_psf else None)
+        batch = apply_blur_and_expand(
+            batch, expand_target_boxes, key=bkey, add_noise=add_noise,
+            noise_level=noise_level, add_block=add_block, add_jpeg=add_jpeg,
+            dilate_psf_sigma=sigma)
+    if deblur_vars is not None:
+        from detectinblur_tpu.models.deblur import deblur_image
+
+        deblurred = jax.vmap(lambda im: deblur_image(deblur_vars, im))(
+            batch.images)
+        batch = batch._replace(images=deblurred)
+    if use_warp:
+        batch = derive_warp_params(batch)
+    return batch
+
+
 def make_eval_step(
     model: FasterRCNN,
     bucket: Tuple[int, int],
@@ -204,25 +245,11 @@ def make_eval_step(
     """
 
     def step(params, batch: BlurBatch, key: Optional[jax.Array] = None):
-        if key is None:
-            key = jax.random.key(0)
-        key, bkey, dkey = jax.random.split(key, 3)
-        if blur_eval:
-            sigma = (jax.random.uniform(dkey, (batch.images.shape[0],),
-                                        minval=0.0, maxval=3.0)
-                     if dilate_psf else None)
-            batch = apply_blur_and_expand(
-                batch, expand_target_boxes, key=bkey, add_noise=add_noise,
-                noise_level=noise_level, add_block=add_block, add_jpeg=add_jpeg,
-                dilate_psf_sigma=sigma)
-        if deblur_vars is not None:
-            from detectinblur_tpu.models.deblur import deblur_image
-
-            deblurred = jax.vmap(lambda im: deblur_image(deblur_vars, im))(
-                batch.images)
-            batch = batch._replace(images=deblurred)
-        if use_warp:
-            batch = derive_warp_params(batch)
+        batch = prepare_eval_batch(
+            batch, key, blur_eval=blur_eval,
+            expand_target_boxes=expand_target_boxes, deblur_vars=deblur_vars,
+            add_noise=add_noise, noise_level=noise_level, add_block=add_block,
+            add_jpeg=add_jpeg, dilate_psf=dilate_psf, use_warp=use_warp)
         means, stds = _blur_norms(batch, use_custom_norm)
         dets = model.predict(
             params, batch.images, batch.hw, bucket=bucket, means=means, stds=stds,

@@ -269,6 +269,7 @@ def test_loader_crop_clips_boxes(rng):
         it["labels"] = np.array([1, 3, 4], np.int32)
         it["area"] = np.ones(3, np.float32)
         it["iscrowd"] = np.zeros(3, np.int32)
+        it["keypoints"] = np.arange(3 * 17 * 3, dtype=np.float32).reshape(3, 17, 3)
     loader = DetectionLoader(ds, batch_size=2, policy=BlurPolicy(prob=0.0),
                              psf_bank=None, source_buckets=((96, 128),))
     (batch, bucket, _), = list(loader)
@@ -278,3 +279,8 @@ def test_loader_crop_clips_boxes(rng):
     assert valid.sum() == 2  # the fully-outside box is gone
     assert (boxes[:, [0, 2]] <= 128).all() and (boxes[:, [1, 3]] <= 96).all()
     np.testing.assert_allclose(boxes[1], [70, 60, 128, 96])
+    # Every per-instance array must shrink with the boxes — a stale
+    # 'keypoints' of length 3 would pair instance i with wrong keypoints.
+    item, _, _ = loader._prepare(0, 0)
+    assert len(item["keypoints"]) == len(item["boxes"]) == 2
+    np.testing.assert_allclose(item["keypoints"][1, 0, 0], 17 * 3)

@@ -7,7 +7,6 @@ XLA quad path; on TPU backends the same rule wraps the Pallas kernel
 test_roi_align's kernel-vs-quad parity).
 """
 
-import os
 
 import jax
 import jax.numpy as jnp
@@ -91,13 +90,13 @@ def test_no_feature_allgather_in_sharded_forward(mesh):
     assert "all-gather" not in hlo, "partitioner gathered the batch"
 
 
-def test_detector_cp_path_matches_quad_path(mesh, monkeypatch):
-    """Full-detector integration: with DETECTINBLUR_CP_ROIALIGN=1 the
-    model routes RoIAlign through the partitioned entry points on this
-    CPU mesh (per-shard body = quad); detections must equal the plain
-    quad path (small float tolerance: the cp route batches the box head
-    over pre-pooled features, a different but equivalent contraction
-    order)."""
+def test_detector_cp_path_matches_quad_path(mesh):
+    """Full-detector integration: with cp_roi_align=True (the config knob
+    behind DETECTINBLUR_CP_ROIALIGN=1) the model routes RoIAlign through
+    the partitioned entry points on this CPU mesh (per-shard body = quad);
+    detections must equal the plain quad path (small float tolerance: the
+    cp route batches the box head over pre-pooled features, a different
+    but equivalent contraction order)."""
     import __graft_entry__ as ge
     from detectinblur_tpu.models.faster_rcnn import (
         FasterRCNN,
@@ -113,7 +112,7 @@ def test_detector_cp_path_matches_quad_path(mesh, monkeypatch):
         box=BoxHeadConfig(batch_size_per_image=64, nms_pool=256,
                           detections_per_img=20),
     )
-    model = FasterRCNN(cfg)
+    model = FasterRCNN(cfg._replace(cp_roi_align=False))
     params = model.init(jax.random.key(0), bucket=(64, 64))
     batch = ge._tiny_batch(8, 64, 64, seed=7)
 
@@ -122,11 +121,15 @@ def test_detector_cp_path_matches_quad_path(mesh, monkeypatch):
 
     ref = jax.jit(predict)(params, batch)
 
-    monkeypatch.setenv("DETECTINBLUR_CP_ROIALIGN", "1")
+    cp_model = FasterRCNN(cfg._replace(cp_roi_align=True))
+    assert cp_model._pallas_pool_plan((64, 64))[0]
+
+    def cp_predict(p, b):
+        return cp_model.predict(p, b.images, b.hw, bucket=(64, 64))
+
     with mesh:
         sbatch = shard_batch(mesh, ge._tiny_batch(8, 64, 64, seed=7))
-        out = jax.jit(predict)(params, sbatch)
-    assert os.environ["DETECTINBLUR_CP_ROIALIGN"] == "1"
+        out = jax.jit(cp_predict)(params, sbatch)
     for name in ("boxes", "scores", "labels", "valid"):
         np.testing.assert_allclose(
             np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
