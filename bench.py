@@ -71,9 +71,13 @@ def _run():
     from detectinblur_tpu.ops.psf import sample_psf
     from detectinblur_tpu.models.detection_transform import preprocess_batch
 
+    from detectinblur_tpu.data.batching import model_bucket_for_batch
+
     B = 8
     src_h, src_w = 480, 640            # COCO-native size
-    bucket = (832, 1248)               # model bucket (/32) for 800x1216
+    # The exact static bucket the eval pipeline derives for this batch
+    # (torch resize 480x640 -> 800x1066, quantized /64) = (832, 1088).
+    bucket = model_bucket_for_batch([[src_h, src_w]] * B)
 
     cfg = FasterRCNNConfig()
     model = FasterRCNN(cfg)

@@ -16,7 +16,7 @@ from detectinblur_tpu.cli.train import build_model, BLUR_STAT_TAGS
 from detectinblur_tpu.data.blur_sampling import BlurPolicy, generate_psf_bank
 from detectinblur_tpu.data.coco import get_coco
 from detectinblur_tpu.data.loader import DetectionLoader
-from detectinblur_tpu.data.batching import model_bucket_for
+from detectinblur_tpu.data.batching import model_bucket_for_batch
 from detectinblur_tpu.ops.psf import EVAL_PARAMS, EVAL_FRACTIONS
 from detectinblur_tpu.parallel.mesh import make_mesh
 from detectinblur_tpu.train.checkpoint import restore_weights
@@ -99,14 +99,17 @@ def load_params(model, path: str, frozen_bn=True, mode_one_n=0.0):
 
 
 def run_cell(args, model, params, dataset_val, policy, psf_bank,
-             ensemble=None, bn_stats=None):
+             ensemble=None, bn_stats=None, step_cache=None):
     loader = DetectionLoader(
         dataset_val, 1, policy, psf_bank, shuffle=False,
         num_processes=jax.process_count(), process_index=jax.process_index(),
         drop_last=False, num_workers=args.workers,
     )
     blur = policy.prob > 0
-    eval_steps = {}
+    # Jitted steps are keyed by (source bucket, exact model bucket); the
+    # sweep passes one shared cache so the 15 P x E cells reuse compiles
+    # (nothing the step closes over varies across cells).
+    eval_steps = step_cache if step_cache is not None else {}
 
     deblur_vars = None
     if args.deblur_first and args.deblurer_model_location:
@@ -126,10 +129,10 @@ def run_cell(args, model, params, dataset_val, policy, psf_bank,
         stacked, estimator, est_vars, lehe = ensemble
 
         def eval_step(_p, batch):
-            b = batch.images.shape[1:3]
+            b = (batch.images.shape[1:3], model_bucket_for_batch(batch.hw))
             if b not in eval_steps:
                 eval_steps[b] = make_ensemble_predict(
-                    model, model_bucket_for(b), estimator, lehe=lehe,
+                    model, b[1], estimator, lehe=lehe,
                     blur_eval=blur,
                     expand_target_boxes=args.expand_target_boxes and blur,
                     use_warp=args.warp_in_model,
@@ -143,10 +146,10 @@ def run_cell(args, model, params, dataset_val, policy, psf_bank,
             return dets, gt
     else:
         def eval_step(p, batch):
-            b = batch.images.shape[1:3]
+            b = (batch.images.shape[1:3], model_bucket_for_batch(batch.hw))
             if b not in eval_steps:
                 eval_steps[b] = make_eval_step(
-                    model, model_bucket_for(b), blur_eval=blur,
+                    model, b[1], blur_eval=blur,
                     expand_target_boxes=args.expand_target_boxes and blur,
                     use_warp=args.warp_in_model,
                     use_custom_norm=args.use_custom_image_norm,
@@ -245,9 +248,9 @@ def main(argv=None):
         eval_steps = {}
 
         def eval_step(p, batch):
-            b = batch.images.shape[1:3]
+            b = (batch.images.shape[1:3], model_bucket_for_batch(batch.hw))
             if b not in eval_steps:
-                eval_steps[b] = make_eval_step(model, model_bucket_for(b),
+                eval_steps[b] = make_eval_step(model, b[1],
                                                bn_stats=bn_stats)
             return eval_steps[b](p, batch)
 
@@ -299,6 +302,7 @@ def main(argv=None):
                                      fractions=tuple(EVAL_FRACTIONS[1:]),
                                      center=not args.dont_center_psf)
         all_stats = {}
+        step_cache = {}   # compiled steps shared across the P x E cells
         for pi, param in enumerate(EVAL_PARAMS[1:], start=1):
             if args.param_index is not None and pi != args.param_index:
                 continue
@@ -306,7 +310,7 @@ def main(argv=None):
                 policy = BlurPolicy(prob=1.0, blur_type=param,
                                     blur_exposure=fraction)
                 stats = run_cell(args, model, params, dataset_val, policy, bank,
-                                 ensemble, bn_stats)
+                                 ensemble, bn_stats, step_cache=step_cache)
                 all_stats[(pi, fi)] = stats
                 for name, value in zip(BLUR_STAT_TAGS, stats[:12]):
                     writer.add_scalar(f"P{pi}/{name}", float(value), fi)

@@ -23,7 +23,7 @@ from detectinblur_tpu.train.checkpoint import restore_checkpoint, restore_weight
 from detectinblur_tpu.train.engine import make_train_step, make_eval_step
 from detectinblur_tpu.train.eval_loop import evaluate_coco
 from detectinblur_tpu.train.state import create_train_state, make_optimizer
-from detectinblur_tpu.data.batching import model_bucket_for
+from detectinblur_tpu.data.batching import model_bucket_for, model_bucket_for_batch
 from detectinblur_tpu.utils.logging import ScalarWriter
 from detectinblur_tpu.utils.metric_logger import MetricLogger
 from detectinblur_tpu.utils.torch_convert import (
@@ -197,6 +197,9 @@ def main(argv=None):
             )
         return steps[bucket]
 
+    eval_steps = {}  # (blur, source bucket, model bucket) -> jitted step,
+    #                  shared across epochs so post-epoch eval compiles once
+
     def run_eval(epoch):
         """Clean + blurred post-epoch eval (train.py:346-387). The blurred
         val set blurs EVERY image (blur_ratio=1, train.py:172-181), not at
@@ -215,13 +218,13 @@ def main(argv=None):
                 process_index=jax.process_index(), drop_last=False,
                 num_workers=args.workers,
             )
-            eval_steps = {}
 
             def eval_step(params, batch, _blur=blur):
-                b = batch.images.shape[1:3]
+                b = (_blur, batch.images.shape[1:3],
+                     model_bucket_for_batch(batch.hw))
                 if b not in eval_steps:
                     eval_steps[b] = make_eval_step(
-                        model, model_bucket_for(b), blur_eval=_blur,
+                        model, b[2], blur_eval=_blur,
                         expand_target_boxes=args.expand_target_boxes and _blur,
                         use_warp=args.warp_in_model,
                         use_custom_norm=args.use_custom_image_norm,

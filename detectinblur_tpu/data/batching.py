@@ -34,11 +34,44 @@ def pick_bucket(h: int, w: int, buckets: Sequence[Tuple[int, int]]):
 def model_bucket_for(source_bucket: Tuple[int, int], min_size=800, max_size=1333,
                      divisor=32) -> Tuple[int, int]:
     """Static model bucket big enough for any image in the source bucket
-    after min/max-side resize."""
+    after min/max-side resize.
+
+    Sized for images AT the bucket's aspect ratio; an off-aspect image can
+    resize beyond one axis, in which case the device transform shrinks its
+    scale to fit with aspect intact (resize_into_bucket). Training uses this
+    (one static shape per source bucket); evaluation uses the torch-exact
+    per-batch ``model_bucket_for_batch`` instead."""
     h, w = source_bucket
     scale = min(min_size / min(h, w), max_size / max(h, w))
     Ho = int(np.ceil(h * scale / divisor) * divisor)
     Wo = int(np.ceil(w * scale / divisor) * divisor)
+    return Ho, Wo
+
+
+def resized_hw_np(h: int, w: int, min_size=800, max_size=1333) -> Tuple[int, int]:
+    """torchvision resize semantics (net_transforms.py:151-175): scale the
+    min side to ``min_size`` unless that pushes the max side past
+    ``max_size``; output dims floor like interpolate(recompute_scale_factor)."""
+    scale = min(min_size / min(h, w), max_size / max(h, w))
+    return int(np.floor(h * scale)), int(np.floor(w * scale))
+
+
+def model_bucket_for_batch(hw, min_size=800, max_size=1333,
+                           divisor=64) -> Tuple[int, int]:
+    """Exact static model bucket for one batch: the max resized extent over
+    the batch's valid sizes, rounded up to ``divisor``.
+
+    Every image fits at its torch-exact resized size — no scale shrink, no
+    distortion — unlike the per-source-bucket bound, which assumes images
+    share the bucket's aspect ratio (a 427x640 COCO image resizes to
+    800x1199, overflowing the (512, 672) bucket's 800x1056 model shape).
+    ``divisor=64`` quantizes the bucket so an eval pass compiles a handful
+    of shapes, not one per image size."""
+    hw = np.asarray(hw)
+    rh, rw = zip(*(resized_hw_np(int(h), int(w), min_size, max_size)
+                   for h, w in hw))
+    Ho = int(np.ceil(max(rh) / divisor) * divisor)
+    Wo = int(np.ceil(max(rw) / divisor) * divisor)
     return Ho, Wo
 
 

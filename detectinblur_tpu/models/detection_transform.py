@@ -92,8 +92,20 @@ def resize_into_bucket(
     Uses half-pixel (align_corners=False) bilinear like torch interpolate
     with recompute_scale_factor semantics: output size = floor(size*scale),
     then the *effective* scale is out/in per axis.
+
+    If the resized extent would overflow the bucket (an off-aspect image in
+    a source-bucket-derived model bucket), the scale shrinks so the image
+    still fits WITH its aspect ratio intact — the reference never distorts
+    (net_transforms.py:151-175), so squashing one axis is never correct.
+    Eval paths avoid even the shrink by sizing buckets per batch
+    (data/batching.py model_bucket_for_batch).
     """
     Ho, Wo = out_shape
+    scale = jnp.minimum(
+        scale,
+        jnp.minimum(Ho / hw[0].astype(jnp.float32),
+                    Wo / hw[1].astype(jnp.float32)),
+    )
     new_h = jnp.minimum(jnp.floor(hw[0] * scale).astype(jnp.int32), Ho)
     new_w = jnp.minimum(jnp.floor(hw[1] * scale).astype(jnp.int32), Wo)
     new_hw = jnp.stack([new_h, new_w])

@@ -54,6 +54,50 @@ def test_model_bucket_for():
     assert hb >= 800 and wb >= 1024
 
 
+def test_model_bucket_for_batch_fits_every_resized_image():
+    from detectinblur_tpu.data.batching import (
+        model_bucket_for_batch,
+        resized_hw_np,
+    )
+
+    # 427x640 (a very common COCO shape) resizes to 800x1199 under the
+    # torchvision rule — beyond the (512, 672) source bucket's 800x1056
+    # model shape. The per-batch bucket must fit it exactly.
+    assert resized_hw_np(427, 640) == (800, 1199)
+    hb, wb = model_bucket_for_batch([[427, 640]])
+    assert hb % 64 == 0 and wb % 64 == 0
+    assert hb >= 800 and wb >= 1199
+    # Batch bucket = max over the batch's resized extents.
+    hb2, wb2 = model_bucket_for_batch([[427, 640], [480, 640], [512, 672]])
+    assert (hb2, wb2) >= (hb, wb)
+    for h, w in ((427, 640), (480, 640), (512, 672)):
+        rh, rw = resized_hw_np(h, w)
+        assert rh <= hb2 and rw <= wb2
+
+
+def test_resize_clamp_preserves_aspect():
+    """An off-aspect image overflowing its model bucket is scaled DOWN to
+    fit, never squashed along one axis (the reference resize distorts
+    nothing, net_transforms.py:151-175)."""
+    import jax.numpy as jnp
+
+    from detectinblur_tpu.models.detection_transform import preprocess_batch
+
+    img = np.zeros((1, 512, 672, 3), np.float32)
+    img[0, :427, :640] = 1.0
+    # 427x640 -> torch-exact 800x1199, but the bucket is only (800, 1056).
+    _, new_hw = preprocess_batch(
+        jnp.asarray(img), jnp.asarray([[427, 640]]), (800, 1056))
+    nh, nw = int(new_hw[0, 0]), int(new_hw[0, 1])
+    assert nh <= 800 and nw <= 1056
+    aspect_in, aspect_out = 640 / 427, nw / nh
+    assert abs(aspect_out - aspect_in) / aspect_in < 0.01
+    # In the exact per-batch bucket nothing is clamped: torch dims verbatim.
+    _, new_hw = preprocess_batch(
+        jnp.asarray(img), jnp.asarray([[427, 640]]), (832, 1216))
+    assert (int(new_hw[0, 0]), int(new_hw[0, 1])) == (800, 1199)
+
+
 def test_hflip_boxes(rng):
     item = FakeDataset(rng, n=1)[0]
     w = item["image"].shape[1]
