@@ -23,7 +23,7 @@ from detectinblur_tpu.train.checkpoint import restore_checkpoint, restore_weight
 from detectinblur_tpu.train.engine import make_train_step, make_eval_step
 from detectinblur_tpu.train.eval_loop import evaluate_coco
 from detectinblur_tpu.train.state import create_train_state, make_optimizer
-from detectinblur_tpu.data.batching import model_bucket_for, model_bucket_for_batch
+from detectinblur_tpu.data.batching import model_bucket_for_batch
 from detectinblur_tpu.utils.logging import ScalarWriter
 from detectinblur_tpu.utils.metric_logger import MetricLogger
 from detectinblur_tpu.utils.torch_convert import (
@@ -182,12 +182,17 @@ def main(argv=None):
         state = state._replace(params=restore_weights(args.start_from_weights,
                                                       state.params))
 
-    steps = {}  # (bucket) -> jitted step
+    steps = {}  # (source bucket, model bucket) -> jitted step
 
-    def step_for(bucket):
-        if bucket not in steps:
-            steps[bucket] = make_train_step(
-                model, tx, model_bucket_for(bucket),
+    def step_for(bucket, batch):
+        # Exact per-batch model bucket (quantized /64): batches resize
+        # torch-exactly with no off-aspect scale shrink, and pay conv time
+        # for their own extent, not the source bucket's worst case. The /64
+        # quantization bounds this to a few compiles per source bucket.
+        key = (bucket, model_bucket_for_batch(batch.hw))
+        if key not in steps:
+            steps[key] = make_train_step(
+                model, tx, key[1],
                 blur_train=args.blur_train,
                 expand_target_boxes=args.expand_target_boxes,
                 use_warp=args.warp_in_model,
@@ -195,7 +200,7 @@ def main(argv=None):
                 add_noise=args.add_noise, noise_level=args.noise_level,
                 add_block=args.add_block, add_jpeg=args.add_jpeg_artefacts,
             )
-        return steps[bucket]
+        return steps[key]
 
     eval_steps = {}  # (blur, source bucket, model bucket) -> jitted step,
     #                  shared across epochs so post-epoch eval compiles once
@@ -253,10 +258,10 @@ def main(argv=None):
             ):
                 key = jax.random.fold_in(jax.random.key(1337), global_iter)
                 if model.has_bn:
-                    state, bn_stats, metrics = step_for(bucket)(
+                    state, bn_stats, metrics = step_for(bucket, batch)(
                         state, bn_stats, batch, key)
                 else:
-                    state, metrics = step_for(bucket)(state, batch, key)
+                    state, metrics = step_for(bucket, batch)(state, batch, key)
                 if global_iter % args.print_freq == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     if not np.isfinite(m["loss"]):

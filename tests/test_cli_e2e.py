@@ -74,7 +74,6 @@ def tiny_cli(monkeypatch):
 
     monkeypatch.setattr(cli_train, "build_model", tiny_build)
     monkeypatch.setattr(cli_eval, "build_model", tiny_build)
-    monkeypatch.setattr(cli_train, "model_bucket_for", tiny_model_bucket)
     monkeypatch.setattr(cli_train, "model_bucket_for_batch", tiny_model_bucket)
     monkeypatch.setattr(cli_eval, "model_bucket_for_batch", tiny_model_bucket)
     import detectinblur_tpu.data.batching as batching_mod
