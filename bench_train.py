@@ -1,0 +1,88 @@
+"""Train-step throughput benchmark (companion to bench.py).
+
+Measures the full jitted training iteration — device blur, PSF-driven
+target expansion, Faster R-CNN forward, losses, backward, SGD — as ONE
+XLA program (train/engine.py make_train_step) at the per-batch exact
+model bucket, batch 8, throughput mode. The numbers in PERF.md's
+"Training step" section come from this script:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python bench_train.py
+"""
+import json
+import os
+import time
+
+os.environ.setdefault("DETECTINBLUR_PRECISION", "default")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from detectinblur_tpu.data.batching import model_bucket_for_batch
+    from detectinblur_tpu.models.faster_rcnn import FasterRCNN, FasterRCNNConfig
+    from detectinblur_tpu.ops.psf import sample_psf
+    from detectinblur_tpu.train.engine import BlurBatch, make_train_step
+    from detectinblur_tpu.train.state import create_train_state, make_optimizer
+
+    B, G = 8, 16
+    src_h, src_w = 480, 640
+    bucket = model_bucket_for_batch([[src_h, src_w]] * B)
+    print("model bucket:", bucket)
+
+    cfg = FasterRCNNConfig()
+    model = FasterRCNN(cfg)
+    params = model.init(jax.random.key(0), bucket=bucket)
+    tx, _ = make_optimizer(base_lr=0.04, steps_per_epoch=1000, params=params)
+    state = create_train_state(params, tx)
+
+    rng = np.random.default_rng(0)
+    keys = jax.random.split(jax.random.key(1), B)
+    psfs = jax.vmap(lambda k: sample_psf(k, expl=0.005, fraction=0.5))(keys)
+    boxes = np.zeros((B, G, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, src_w // 2, (B, G))
+    boxes[..., 1] = rng.uniform(0, src_h // 2, (B, G))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(8, src_w // 3, (B, G))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(8, src_h // 3, (B, G))
+    batch = BlurBatch(
+        images=jnp.asarray(rng.random((B, src_h, src_w, 3), np.float32)),
+        hw=jnp.tile(jnp.asarray([[src_h, src_w]]), (B, 1)),
+        psfs=psfs,
+        blurring=jnp.ones((B,), bool),
+        thetas=jnp.zeros(B),
+        lam1s=jnp.full((B,), 0.9),
+        lam2s=jnp.full((B,), 0.95),
+        param_index=jnp.zeros(B, jnp.int32),
+        fraction_index=jnp.ones(B, jnp.int32),
+        gt_boxes=jnp.asarray(boxes),
+        gt_labels=jnp.asarray(rng.integers(1, 91, (B, G)).astype(np.int32)),
+        gt_valid=jnp.asarray(np.ones((B, G), bool)),
+    )
+
+    step = make_train_step(model, tx, bucket, blur_train=True,
+                           expand_target_boxes=True)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, jax.random.key(100))
+    jax.block_until_ready(metrics)
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s",
+          {k: float(v) for k, v in metrics.items()})
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.key(i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    ms = dt / iters * 1000
+    print(json.dumps({
+        "metric": "train_step_images_per_sec_per_chip",
+        "value": round(B * iters / dt, 2),
+        "unit": "img/s",
+        "step_ms": round(ms, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
