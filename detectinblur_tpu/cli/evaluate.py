@@ -99,12 +99,22 @@ def load_params(model, path: str, frozen_bn=True, mode_one_n=0.0):
 
 
 def run_cell(args, model, params, dataset_val, policy, psf_bank,
-             ensemble=None, bn_stats=None, step_cache=None):
-    loader = DetectionLoader(
-        dataset_val, 1, policy, psf_bank, shuffle=False,
-        num_processes=jax.process_count(), process_index=jax.process_index(),
-        drop_last=False, num_workers=args.workers,
-    )
+             ensemble=None, bn_stats=None, step_cache=None, loader=None,
+             coco_index=None):
+    """One evaluate() call (engine.py:220-416): build the loader (or use the
+    given one — the natural-blur path brings its own dataset + COCO index),
+    assemble the eval step with EVERY remedy the flags ask for, run the
+    COCO loop. Both the sweep cells and the --blurred_dataset branch come
+    through here so no flag combination can silently fall back to the plain
+    model (the reference passes the same remedy set into its single
+    evaluate() for natural datasets, evaluate.py:240-290)."""
+    if loader is None:
+        loader = DetectionLoader(
+            dataset_val, 1, policy, psf_bank, shuffle=False,
+            num_processes=jax.process_count(),
+            process_index=jax.process_index(),
+            drop_last=False, num_workers=args.workers,
+        )
     blur = policy.prob > 0
     # Jitted steps are keyed by (source bucket, exact model bucket); the
     # sweep passes one shared cache so the 15 P x E cells reuse compiles
@@ -128,7 +138,7 @@ def run_cell(args, model, params, dataset_val, policy, psf_bank,
 
         stacked, estimator, est_vars, lehe = ensemble
 
-        def eval_step(_p, batch):
+        def eval_step(_p, batch, key=None):
             b = (batch.images.shape[1:3], model_bucket_for_batch(batch.hw))
             if b not in eval_steps:
                 eval_steps[b] = make_ensemble_predict(
@@ -142,10 +152,10 @@ def run_cell(args, model, params, dataset_val, policy, psf_bank,
                     add_block=args.add_block,
                     add_jpeg=args.add_jpeg_artefacts,
                     dilate_psf=args.dilate_psf)
-            dets, gt, _idx = eval_steps[b](stacked, est_vars, batch)
+            dets, gt, _idx = eval_steps[b](stacked, est_vars, batch, key)
             return dets, gt
     else:
-        def eval_step(p, batch):
+        def eval_step(p, batch, key=None):
             b = (batch.images.shape[1:3], model_bucket_for_batch(batch.hw))
             if b not in eval_steps:
                 eval_steps[b] = make_eval_step(
@@ -160,10 +170,11 @@ def run_cell(args, model, params, dataset_val, policy, psf_bank,
                     dilate_psf=args.dilate_psf,
                     bn_stats=bn_stats,
                 )
-            return eval_steps[b](p, batch)
+            return eval_steps[b](p, batch, key)
 
     return evaluate_coco(
-        eval_step, params, loader, dataset_val.index,
+        eval_step, params, loader,
+        coco_index if coco_index is not None else dataset_val.index,
         expand_target_boxes=args.expand_target_boxes and blur,
         early_stop=args.early_stop,
         image_output_dir=args.image_output_dir,
@@ -230,8 +241,13 @@ def main(argv=None):
         bn_stats = model.init_stats() if model.has_bn else None
 
     if args.blurred_dataset:
-        # Natural-blur eval: the dataset is pre-blurred; one plain eval pass
-        # (evaluate.py:250-290).
+        # Natural-blur eval: the dataset is pre-blurred (blur prob 0 here;
+        # pre_blurred items pass the blur stage untouched) but EVERY remedy
+        # still applies — deblur-first, estimator-gated ensemble, warp,
+        # custom norms all flow into the one evaluate() call exactly like
+        # the reference's (evaluate.py:240-290 + engine.py:319-366), so the
+        # headline "GOPRO + deblur" / "GOPRO + LEHE ensemble" experiments
+        # run through the same remedy chain as the synthetic sweep.
         from detectinblur_tpu.data.natural_datasets import get_natural_dataset
         from detectinblur_tpu.train.eval_loop import dataset_to_coco_index
 
@@ -245,20 +261,10 @@ def main(argv=None):
                                  num_processes=jax.process_count(),
                                  process_index=jax.process_index(),
                                  num_workers=args.workers)
-        eval_steps = {}
-
-        def eval_step(p, batch):
-            b = (batch.images.shape[1:3], model_bucket_for_batch(batch.hw))
-            if b not in eval_steps:
-                eval_steps[b] = make_eval_step(model, b[1],
-                                               bn_stats=bn_stats)
-            return eval_steps[b](p, batch)
-
-        from detectinblur_tpu.train.eval_loop import evaluate_coco
-
         with mesh:
-            stats = evaluate_coco(eval_step, params, loader, coco_gt,
-                                  early_stop=args.early_stop)
+            stats = run_cell(args, model, params, None, BlurPolicy(prob=0.0),
+                             None, ensemble, bn_stats, loader=loader,
+                             coco_index=coco_gt)
         for name, value in zip(BLUR_STAT_TAGS, stats[:12]):
             writer.add_scalar(f"{args.blurred_dataset}/{name}", float(value), 0)
         writer.close()

@@ -224,7 +224,7 @@ def main(argv=None):
                 num_workers=args.workers,
             )
 
-            def eval_step(params, batch, _blur=blur):
+            def eval_step(params, batch, key=None, _blur=blur):
                 b = (_blur, batch.images.shape[1:3],
                      model_bucket_for_batch(batch.hw))
                 if b not in eval_steps:
@@ -235,7 +235,7 @@ def main(argv=None):
                         use_custom_norm=args.use_custom_image_norm,
                         bn_stats=bn_stats,
                     )
-                return eval_steps[b](params, batch)
+                return eval_steps[b](params, batch, key)
 
             stats = evaluate_coco(
                 eval_step, state.params, val_loader, coco_gt,
@@ -251,6 +251,17 @@ def main(argv=None):
             run_eval(start_epoch - 1)
         for epoch in range(start_epoch, args.epochs):
             loader.set_epoch(epoch)
+            if (args.blur_train and args.use_stored_psfs and epoch > 0
+                    and psf_bank.shape[2] == 2048):
+                # A take of exactly max_bank means the stored bank was
+                # stride-subsampled; re-stride with an epoch offset so
+                # successive epochs walk disjoint slices of the full
+                # 12000/bin reference bank (blur_sampling.load_psf_bank).
+                from detectinblur_tpu.data.blur_sampling import load_psf_bank
+
+                psf_bank = load_psf_bank(args.stored_psf_directory,
+                                         epoch=epoch)
+                loader.psf_bank = psf_bank
             logger = MetricLogger()
             t_epoch = time.time()
             for batch, bucket, _ids in logger.log_every(

@@ -128,6 +128,7 @@ def load_psf_bank(
     n_params: int = 3,
     n_fractions: int = 5,
     max_bank: int = 2048,
+    epoch: int = 0,
 ) -> np.ndarray:
     """Load a stored PSF bank from the reference's on-disk layout
     (--use_stored_psfs --stored_psf_directory): folders ``P{1-3}E{0-4}``
@@ -141,7 +142,11 @@ def load_psf_bank(
     ``bank_size=None`` autodetects the smallest per-folder count. The bank
     lives in device HBM (the reference loads one PSF per image lazily from
     loader workers), so it is stride-subsampled to at most ``max_bank`` per
-    bin — the full 12000/bin reference set would be 11.8 GB."""
+    bin — the full 12000/bin reference set would be 11.8 GB. ``epoch``
+    offsets the stride sampling (epoch % stride), so reloading per epoch
+    walks disjoint slices and training over many epochs sees the FULL
+    reference bank (transforms.py:298-309 draws from all 12000/bin) at the
+    same HBM footprint."""
     import os
 
     if bank_size is None:
@@ -159,7 +164,8 @@ def load_psf_bank(
             raise FileNotFoundError(f"no PSF files under {directory}/P*E*")
     take = min(bank_size, max_bank)
     stride = max(1, bank_size // take)
-    indices = list(range(0, stride * take, stride))[:take]
+    offset = epoch % stride
+    indices = list(range(offset, offset + stride * take, stride))[:take]
 
     out = np.zeros((n_params, n_fractions, take, 128, 128), np.float32)
     for pi in range(n_params):

@@ -83,8 +83,18 @@ class DetectionLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
-        # Per-host contiguous shard (DistributedSampler equivalent).
-        per = n // self.num_processes if self.num_processes > 1 else n
+        if self.num_processes <= 1:
+            return idx
+        # Per-host contiguous shard, padded to ceil(n/P) by wrapping around
+        # like torch's DistributedSampler (indices += indices[:pad]) so the
+        # union of shards covers EVERY dataset item — without the pad up to
+        # P-1 val images would never be evaluated and mAP would silently
+        # deflate. Duplicated images are dedup'd at the eval merge
+        # (coco_eval.py:182-201 dedups by unique img id).
+        per = -(-n // self.num_processes)
+        pad = per * self.num_processes - n
+        if pad:
+            idx = np.concatenate([idx, idx[:pad]])
         return idx[self.process_index * per : (self.process_index + 1) * per]
 
     def __len__(self):

@@ -175,6 +175,8 @@ class SingleMapFasterRCNN:
         self.box_predictor = FastRCNNPredictor(config.num_classes)
 
     def _torso_out(self, params, x, train: bool = False, bn_stats=None):
+        """Returns (feat, new_bn_stats); new_bn_stats is None unless the
+        bn mode makes running stats mutable (train / acclimation)."""
         torso = self._train_torso if train else self.torso
         variables = {"params": params["backbone"]}
         mutable = False
@@ -193,8 +195,7 @@ class SingleMapFasterRCNN:
             new_stats = {"backbone": mut["batch_stats"]}
         if isinstance(out, tuple):
             out = out[-1]  # resnet trunk: C5
-        self._last_bn_stats = new_stats
-        return out
+        return out, new_stats
 
     def init(self, key, bucket: Tuple[int, int] = (224, 224)):
         kb, kr, kh, kp = jax.random.split(key, 4)
@@ -203,7 +204,8 @@ class SingleMapFasterRCNN:
         backbone = variables["params"]
         bn_stats = ({"backbone": variables["batch_stats"]}
                     if "batch_stats" in variables else None)
-        feat = self._torso_out({"backbone": backbone}, dummy, bn_stats=bn_stats)
+        feat, _ = self._torso_out({"backbone": backbone}, dummy,
+                                  bn_stats=bn_stats)
         rpn_head = self.rpn_head.init(kr, [feat])["params"]
         c = feat.shape[-1]
         pooled = jnp.zeros((1, c, 7, 7), jnp.float32)
@@ -229,7 +231,7 @@ class SingleMapFasterRCNN:
         batched, new_hw = preprocess_batch(images, hw, bucket, means, stds,
                                            min_size=cfg.min_size,
                                            max_size=cfg.max_size)
-        feat = self._torso_out(params, batched, bn_stats=bn_stats)
+        feat, _ = self._torso_out(params, batched, bn_stats=bn_stats)
         rpn_out = run_rpn(
             params["rpn_head"], self.rpn_head, [feat], new_hw, training=False,
             cfg=cfg.rpn, first_level_stride=cfg.stride,
@@ -267,7 +269,8 @@ class SingleMapFasterRCNN:
                                            max_size=cfg.max_size)
         gt_resized = jax.vmap(resize_boxes)(gt_boxes, hw, new_hw)
 
-        feat = self._torso_out(params, batched, train=True, bn_stats=bn_stats)
+        feat, new_bn_stats = self._torso_out(params, batched, train=True,
+                                             bn_stats=bn_stats)
         rpn_out = run_rpn(
             params["rpn_head"], self.rpn_head, [feat], new_hw, training=True,
             cfg=cfg.rpn, first_level_stride=cfg.stride,
@@ -307,4 +310,4 @@ class SingleMapFasterRCNN:
             "loss_rpn_box_reg": jnp.sum(rpn_box_l) / jnp.maximum(jnp.sum(rpn_n), 1),
             "loss_classifier": jnp.sum(ce_sum) / n_tot,
             "loss_box_reg": jnp.sum(box_sum) / n_tot,
-        }
+        }, new_bn_stats

@@ -120,16 +120,32 @@ def gaussian_pyramid(img: jax.Array, n_scales: int = 3) -> list:
     return pyr
 
 
-def deblur_image(variables, img01: jax.Array, n_scales: int = 3) -> jax.Array:
+def msresnet_from_variables(variables) -> MSResNet:
+    """Build the MSResNet whose architecture matches a converted param
+    tree (scale count / feats / block count are inferred, so checkpoints
+    other than the released 3-scale/64-feat/19-block one load too)."""
+    params = variables["params"]
+    n_scales = sum(1 for k in params if k.startswith("scale"))
+    scale0 = params["scale0"]
+    feats = scale0["head"]["kernel"].shape[-1]
+    kernel = scale0["head"]["kernel"].shape[0]
+    n_blocks = sum(1 for k in scale0 if k.startswith("block"))
+    return MSResNet(n_scales=n_scales, feats=feats, kernel=kernel,
+                    n_blocks=n_blocks)
+
+
+def deblur_image(variables, img01: jax.Array) -> jax.Array:
     """deblurInterface.deblurImage semantics: img in 0..1, pad to
     /2^(n_scales-1) edge-mode, pyramid, MSResNet, unpad, clamp."""
+    net = msresnet_from_variables(variables)
+    n_scales = net.n_scales
     H, W = img01.shape[:2]
     div = 2 ** (n_scales - 1)
     ph = (-H) % div
     pw = (-W) % div
     x = jnp.pad(img01 * 255.0, [(0, ph), (0, pw), (0, 0)], mode="edge")
     pyr = gaussian_pyramid(x, n_scales)
-    out = MSResNet(n_scales=n_scales).apply(variables, pyr)
+    out = net.apply(variables, pyr)
     fine = out[0][:H, :W]
     return jnp.clip((fine + 0.5), 0.0, 255.0) / 255.0
 

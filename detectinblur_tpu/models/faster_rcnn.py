@@ -145,6 +145,8 @@ class FasterRCNN:
     # ------------------------------------------------------------ features
     def _features(self, params, images, thetas=None, lam1s=None, lam2s=None,
                   kill_warp=False, train=False, bn_stats=None):
+        """Returns (feats, new_bn_stats); new_bn_stats is None unless the
+        bn_mode makes running stats mutable (train / acclimation)."""
         if self.cfg.warp_internally and not kill_warp:
             images = squint_warp(images, thetas, lam1s, lam2s)
         variables = {"params": params["backbone"]}
@@ -166,8 +168,7 @@ class FasterRCNN:
             feats = tuple(
                 squint_warp(f, thetas, 1.0 / lam1s, 1.0 / lam2s) for f in feats
             )
-        self._last_bn_stats = new_stats
-        return feats
+        return feats, new_stats
 
     def _head_from_pooled(self, params, pooled):
         pooled = jnp.transpose(pooled, (0, 3, 1, 2))        # torch CHW flatten
@@ -224,8 +225,8 @@ class FasterRCNN:
         batched, new_hw = preprocess_batch(
             images, hw, bucket, means, stds, cfg.min_size, cfg.max_size
         )
-        feats = self._features(params, batched, thetas, lam1s, lam2s, kill_warp,
-                               bn_stats=bn_stats)
+        feats, _ = self._features(params, batched, thetas, lam1s, lam2s,
+                                  kill_warp, bn_stats=bn_stats)
         rpn_out = run_rpn(params["rpn_head"], self.rpn_head, feats, new_hw,
                           training=False, cfg=cfg.rpn)
 
@@ -291,6 +292,8 @@ class FasterRCNN:
         kill_warp: bool = False,
         bn_stats=None,
     ):
+        """Returns (losses, new_bn_stats); new_bn_stats is None unless the
+        backbone's bn_mode makes running stats mutable."""
         cfg = self.cfg
         B = images.shape[0]
         batched, new_hw = preprocess_batch(
@@ -298,8 +301,9 @@ class FasterRCNN:
         )
         gt_resized = jax.vmap(resize_boxes)(gt_boxes, hw, new_hw)
 
-        feats = self._features(params, batched, thetas, lam1s, lam2s,
-                               kill_warp, train=True, bn_stats=bn_stats)
+        feats, new_bn_stats = self._features(params, batched, thetas, lam1s,
+                                             lam2s, kill_warp, train=True,
+                                             bn_stats=bn_stats)
         rpn_out = run_rpn(params["rpn_head"], self.rpn_head, feats, new_hw,
                           training=True, cfg=cfg.rpn)
 
@@ -352,4 +356,4 @@ class FasterRCNN:
             "loss_classifier": jnp.sum(ce_sum) / n_tot,
             "loss_box_reg": jnp.sum(box_sum) / n_tot,
         }
-        return losses
+        return losses, new_bn_stats

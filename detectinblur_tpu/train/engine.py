@@ -138,7 +138,7 @@ def make_train_step(
         means, stds = _blur_norms(batch, use_custom_norm)
 
         def loss_fn(params):
-            losses = model.loss(
+            losses, new_stats = model.loss(
                 params, key, batch.images, batch.hw,
                 batch.gt_boxes, batch.gt_labels, batch.gt_valid,
                 bucket=bucket, means=means, stds=stds,
@@ -147,7 +147,6 @@ def make_train_step(
                 lam2s=batch.lam2s if use_warp else None,
                 bn_stats=bn_stats,
             )
-            new_stats = getattr(model, "_last_bn_stats", None)
             return sum(losses.values()), (losses, new_stats)
 
         ((total, (losses, new_stats)), grads) = jax.value_and_grad(

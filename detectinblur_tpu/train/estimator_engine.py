@@ -35,29 +35,43 @@ def apply_corruptions(key, images, add_noise=False, noise_level=0.001,
                       add_block=False, add_jpeg=False, quantize=False):
     """Noise / block / JPEG / quantize corruption chain
     (blur_functions.py:72-88, engine_blur_estimator.py:201-219).
-    images [B, H, W, 3] in 0..1."""
-    kn, kv, kb, kbs, kj, kjq = jax.random.split(key, 6)
-    if add_noise:
-        var = jax.random.uniform(kv, (), minval=1e-8, maxval=noise_level)
-        noise = jax.random.normal(kn, images.shape) * jnp.sqrt(var)
-        images = jnp.clip(images + noise, 0.0, 1.0)
-    if add_block:
-        do = jax.random.uniform(kb) > 0.5
-        sf = jax.random.uniform(kbs, (), minval=0.6, maxval=1.0)
-        H, W = images.shape[1:3]
-        # Nearest down/up via index gather (dynamic scale, static shapes).
-        ys = jnp.clip(jnp.floor(jnp.arange(H) / sf) * sf, 0, H - 1).astype(jnp.int32)
-        xs = jnp.clip(jnp.floor(jnp.arange(W) / sf) * sf, 0, W - 1).astype(jnp.int32)
-        blocked = images[:, ys][:, :, xs]
-        images = jnp.where(do, blocked, images)
-    if add_jpeg:
-        do = jax.random.uniform(kj) > 0.35
-        q = jax.random.uniform(kjq, (), minval=20.0, maxval=90.0)
-        compressed = jax.vmap(lambda im: jpeg_compress_decompress(im, q))(images)
-        images = jnp.where(do, compressed, images)
-    if quantize:
-        images = jnp.round(images * 255.0) / 255.0
-    return images
+    images [B, H, W, 3] in 0..1.
+
+    Every draw — noise variance, block decision + scale, JPEG decision +
+    quality — is per IMAGE (vmapped key splits), matching the reference
+    where manual_blur is invoked once per image so each image gets its own
+    corruption parameters (engine.py:101-102 loops blur_image_list over
+    images; blur_functions.py:72-88 draws inside)."""
+    if not (add_noise or add_block or add_jpeg or quantize):
+        return images
+    H, W = images.shape[1:3]
+
+    def one(k, img):
+        kn, kv, kb, kbs, kj, kjq = jax.random.split(k, 6)
+        if add_noise:
+            var = jax.random.uniform(kv, (), minval=1e-8, maxval=noise_level)
+            noise = jax.random.normal(kn, img.shape) * jnp.sqrt(var)
+            img = jnp.clip(img + noise, 0.0, 1.0)
+        if add_block:
+            do = jax.random.uniform(kb) > 0.5
+            sf = jax.random.uniform(kbs, (), minval=0.6, maxval=1.0)
+            # Nearest down/up via index gather (dynamic scale, static shapes).
+            ys = jnp.clip(jnp.floor(jnp.arange(H) / sf) * sf,
+                          0, H - 1).astype(jnp.int32)
+            xs = jnp.clip(jnp.floor(jnp.arange(W) / sf) * sf,
+                          0, W - 1).astype(jnp.int32)
+            blocked = img[ys][:, xs]
+            img = jnp.where(do, blocked, img)
+        if add_jpeg:
+            do = jax.random.uniform(kj) > 0.35
+            q = jax.random.uniform(kjq, (), minval=20.0, maxval=90.0)
+            img = jnp.where(do, jpeg_compress_decompress(img, q), img)
+        if quantize:
+            img = jnp.round(img * 255.0) / 255.0
+        return img
+
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(one)(keys, images)
 
 
 def estimator_resize_canvas(Hb: int, Wb: int, aspect_cap: float = 2.0):

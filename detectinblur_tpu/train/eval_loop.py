@@ -85,9 +85,31 @@ def collect_detections(dets, image_ids, results: List[dict]):
             })
 
 
-def merge_results_across_hosts(results: List[dict]) -> List[dict]:
+def dedup_across_hosts(per_host_ids: List[List[int]],
+                       per_host_results: List[List[dict]]) -> List[dict]:
+    """Keep each image's detections from the FIRST host that evaluated it
+    (the reference merge dedups evaluated images by unique img id,
+    coco_eval.py:204-211 np.unique keeps first occurrences). Needed because
+    the padded per-host shards (DistributedSampler wrap-around) evaluate up
+    to P-1 images twice. ``per_host_ids`` carries every image a host
+    evaluated — including zero-detection images, which produce no result
+    rows but still claim the id."""
+    seen: set = set()
+    out: List[dict] = []
+    for ids, host_results in zip(per_host_ids, per_host_results):
+        fresh = {i for i in ids if i not in seen}
+        for r in host_results:
+            if r["image_id"] in fresh:
+                out.append(r)
+        seen.update(fresh)
+    return out
+
+
+def merge_results_across_hosts(results: List[dict],
+                               evaluated_ids: List[int]) -> List[dict]:
     """Cross-host eval merge (utils.py:536-576 / coco_eval.py:182-201
-    equivalent), via process_allgather of a fixed-shape array."""
+    equivalent), via process_allgather of fixed-shape arrays, dedup'd by
+    image id across hosts."""
     if jax.process_count() == 1:
         return results
     from jax.experimental import multihost_utils
@@ -95,21 +117,30 @@ def merge_results_across_hosts(results: List[dict]) -> List[dict]:
     arr = np.zeros((len(results), 7), np.float64)
     for i, r in enumerate(results):
         arr[i] = [r["image_id"], r["category_id"], *r["bbox"], r["score"]]
+    ids = np.asarray(evaluated_ids, np.int64)
     # Pad to the max count across hosts.
-    counts = multihost_utils.process_allgather(np.array([len(results)]))
-    m = int(counts.max())
+    counts = multihost_utils.process_allgather(
+        np.array([len(results), len(ids)]))
+    m = int(counts[:, 0].max())
+    mi = int(counts[:, 1].max())
     pad = np.full((m - len(results), 7), -1.0)
     gathered = multihost_utils.process_allgather(np.concatenate([arr, pad]))
-    out = []
-    for host in gathered:
+    gathered_ids = multihost_utils.process_allgather(
+        np.concatenate([ids, np.full(mi - len(ids), -1, np.int64)]))
+    per_host_results = []
+    per_host_ids = []
+    for host, host_ids in zip(gathered, gathered_ids):
+        rows = []
         for row in host:
             if row[0] < 0:
                 continue
-            out.append({
+            rows.append({
                 "image_id": int(row[0]), "category_id": int(row[1]),
                 "bbox": row[2:6].tolist(), "score": float(row[6]),
             })
-    return out
+        per_host_results.append(rows)
+        per_host_ids.append([int(i) for i in host_ids if i >= 0])
+    return dedup_across_hosts(per_host_ids, per_host_results)
 
 
 def evaluate_coco(
@@ -122,14 +153,24 @@ def evaluate_coco(
     early_stop: Optional[int] = None,
     header: str = "Test:",
     image_output_dir: Optional[str] = None,
+    seed: int = 1337,
 ) -> np.ndarray:
     """Run the loop; returns the 19-stat vector (AP first — the reference's
-    patched summarize, coco_eval.py:506-528)."""
+    patched summarize, coco_eval.py:506-528).
+
+    ``eval_step`` is called as ``eval_step(params, batch, key)`` with a
+    fresh per-iteration key (fold_in over the iteration index, per-host
+    offset like the reference's rank*1337 seeding, train.py:100-104), so
+    eval-time corruptions (--add_noise/--add_block/--add_jpeg_artefacts/
+    --dilate_psf) draw new randomness every step while the whole sweep
+    stays deterministic given the seed."""
     results: List[dict] = []
+    evaluated_ids: List[int] = []
     gt = coco_gt
     if expand_target_boxes:
         gt = COCOIndex(copy.deepcopy(coco_gt.dataset))
 
+    base_key = jax.random.fold_in(jax.random.key(seed), jax.process_index())
     logger = MetricLogger()
     faulty = 0
     for it, (batch, bucket, image_ids) in enumerate(
@@ -137,7 +178,9 @@ def evaluate_coco(
     ):
         if early_stop is not None and it >= early_stop:
             break
-        dets, expanded_gt = eval_step(params, batch)
+        dets, expanded_gt = eval_step(params, batch,
+                                      jax.random.fold_in(base_key, it))
+        evaluated_ids.extend(int(i) for i in image_ids)
         collect_detections(dets, image_ids, results)
         if image_output_dir is not None and it < 50:
             # Box-overlay dumps (engine.py:382-383).
@@ -153,7 +196,7 @@ def evaluate_coco(
     if faulty:
         print(f"expanded-GT rewrite: {faulty} faulty boxes")
 
-    results = merge_results_across_hosts(results)
+    results = merge_results_across_hosts(results, evaluated_ids)
     if not results:
         print("no detections produced")
         return np.full(len(STAT_NAMES), -1.0)

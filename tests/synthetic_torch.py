@@ -152,3 +152,33 @@ def synthetic_fasterrcnn_state_dict(seed=0, num_classes=91):
             (out_d, in_d)).astype(np.float32)
         sd[f"{name}.bias"] = rng.standard_normal(out_d).astype(np.float32)
     return sd
+
+
+def synthetic_deepdeblur_state_dict(n_scales=3, feats=64, n_blocks=19,
+                                    kernel=5, seed=0):
+    """DeepDeblur-PyTorch MSResNet checkpoint layout (MSResNet.py:24-66 +
+    ResNet.py:8-40): per-scale ``body_models.{s}.body.{j}`` Sequentials
+    (j=0 head conv, j=1..n_blocks ResBlocks with ``.body.0``/``.body.2``
+    convs, j=n_blocks+1 tail conv), stored fine-first (scale 0 = finest,
+    6 input channels from the upsampled-coarse concat), plus the
+    PixelShuffle up-convs ``conv_end_models.{s}.uppath.0`` (3 -> 12ch)."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+
+    def conv(prefix, cin, cout):
+        sd[f"{prefix}.weight"] = (
+            rng.standard_normal((cout, cin, kernel, kernel)).astype(np.float32)
+            * (2.0 / np.sqrt(cin * kernel * kernel)) * 0.1)
+        sd[f"{prefix}.bias"] = (
+            rng.standard_normal(cout).astype(np.float32) * 0.01)
+
+    for s in range(n_scales):
+        in_ch = 3 if s == n_scales - 1 else 6
+        conv(f"body_models.{s}.body.0", in_ch, feats)
+        for b in range(n_blocks):
+            conv(f"body_models.{s}.body.{b + 1}.body.0", feats, feats)
+            conv(f"body_models.{s}.body.{b + 1}.body.2", feats, feats)
+        conv(f"body_models.{s}.body.{n_blocks + 1}", feats, 3)
+        if s > 0:
+            conv(f"conv_end_models.{s}.uppath.0", 3, 12)
+    return sd

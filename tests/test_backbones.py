@@ -58,20 +58,22 @@ def test_loss_and_grads(single_map, rng):
     gtv = jnp.array([[True, True]])
 
     def total(p):
-        losses = model.loss(p, jax.random.key(1), imgs, hw, gtb, gtl, gtv,
-                            bucket=(96, 128), bn_stats=stats)
-        return sum(losses.values())
+        losses, new_stats = model.loss(p, jax.random.key(1), imgs, hw, gtb,
+                                       gtl, gtv, bucket=(96, 128),
+                                       bn_stats=stats)
+        return sum(losses.values()), new_stats
 
-    val, grads = jax.value_and_grad(total)(params)
+    (val, new_stats), grads = jax.value_and_grad(
+        total, has_aux=True)(params)
     assert np.isfinite(float(val))
     leaf_norms = [float(jnp.abs(g).max())
                   for g in jax.tree.leaves(grads["rpn_head"])]
     assert max(leaf_norms) > 0
     if model.has_bn:
         # Train-mode BN must have produced updated running stats.
-        assert model._last_bn_stats is not None
+        assert new_stats is not None
         old = stats["backbone"]["stem_bn"]["num_batches_tracked"]
-        new = model._last_bn_stats["backbone"]["stem_bn"]["num_batches_tracked"]
+        new = new_stats["backbone"]["stem_bn"]["num_batches_tracked"]
         assert float(new) == float(old) + 1
 
 

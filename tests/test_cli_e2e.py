@@ -196,3 +196,93 @@ def test_estimator_cli_goproblurest(goproblurest_root, tmp_path, monkeypatch):
         "--print-freq", "1",
     ])
     assert 0.0 <= top1 <= 1.0
+
+
+@pytest.fixture
+def fake_natural_dataset(monkeypatch):
+    """Tiny pre-blurred natural-eval dataset injected in place of the
+    on-disk GOPRO layout (VERDICT r2 item 2 test harness)."""
+    import detectinblur_tpu.data.natural_datasets as nat
+
+    rng = np.random.default_rng(7)
+
+    class _FakeNatural:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, idx):
+            return {
+                "image": rng.random((100, 120, 3)).astype(np.float32),
+                "image_id": idx + 1,
+                "boxes": np.array([[10.0, 10.0, 60.0, 60.0]], np.float32),
+                "labels": np.array([1], np.int64),
+                "area": np.array([2500.0], np.float32),
+                "iscrowd": np.zeros(1, np.int32),
+                "pre_blurred": True,
+            }
+
+    monkeypatch.setattr(nat, "get_natural_dataset",
+                        lambda name, root, **kw: _FakeNatural())
+    return _FakeNatural
+
+
+def test_evaluate_cli_natural_deblur_first(coco_root, tiny_cli,
+                                           fake_natural_dataset, tmp_path,
+                                           monkeypatch):
+    """--blurred_dataset + --deblur_first must actually run the MSResNet on
+    the natural images (the reference passes the deblurer into its single
+    evaluate() call, evaluate.py:240-290; round 2 silently dropped every
+    remedy on this branch)."""
+    torch = pytest.importorskip("torch")
+    import detectinblur_tpu.models.deblur as deblur_mod
+    from detectinblur_tpu.cli.evaluate import main
+    from tests.synthetic_torch import synthetic_deepdeblur_state_dict
+
+    sd = synthetic_deepdeblur_state_dict(n_scales=3, feats=8, n_blocks=2)
+    pth = tmp_path / "deblur.pth"
+    torch.save({k: torch.tensor(np.asarray(v, np.float32))
+                for k, v in sd.items()}, str(pth))
+
+    calls = []
+    orig = deblur_mod.deblur_image
+
+    def spy(variables, img):
+        calls.append(1)
+        return orig(variables, img)
+
+    monkeypatch.setattr(deblur_mod, "deblur_image", spy)
+    stats = main(["--data-path", coco_root, "--blurred_dataset", "GOPRO",
+                  "--deblur_first", "--deblurer_model_location", str(pth),
+                  "--early_stop", "2"])
+    assert stats.shape == (19,)
+    assert calls, "deblur-first never ran on the natural-blur branch"
+
+
+def test_evaluate_cli_natural_ensemble_dispatch(coco_root, tiny_cli,
+                                                fake_natural_dataset,
+                                                monkeypatch):
+    """--blurred_dataset + --use_ensemble must fire the specialist-dispatch
+    graph (engine.py:353-366 applies on natural datasets too)."""
+    import detectinblur_tpu.cli.evaluate as cli_eval
+    import detectinblur_tpu.models.ensemble as ens_mod
+    from detectinblur_tpu.cli.evaluate import main
+
+    def fake_load_params(model, path, **kw):
+        import jax
+
+        return model.init(jax.random.key(hash(path) % 1000)), None
+
+    monkeypatch.setattr(cli_eval, "load_params", fake_load_params)
+    made = []
+    orig = ens_mod.make_ensemble_predict
+
+    def spy(*a, **kw):
+        made.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ens_mod, "make_ensemble_predict", spy)
+    stats = main(["--data-path", coco_root, "--blurred_dataset", "GOPRO",
+                  "--use_ensemble", "--ensemble_model_paths",
+                  "a", "b", "c", "d", "--early_stop", "2"])
+    assert stats.shape == (19,)
+    assert made, "ensemble dispatch never fired on the natural-blur branch"

@@ -328,3 +328,32 @@ def test_loader_crop_clips_boxes(rng):
     item, _, _ = loader._prepare(0, 0)
     assert len(item["keypoints"]) == len(item["boxes"]) == 2
     np.testing.assert_allclose(item["keypoints"][1, 0, 0], 17 * 3)
+
+
+def test_load_psf_bank_epoch_restride(tmp_path):
+    """When the stored bank is larger than max_bank, successive epochs
+    stride through DISJOINT slices (epoch % stride offset), so training
+    over many epochs sees the full 12000/bin reference bank instead of a
+    fixed subset (VERDICT r2 item 7; reference draws uniformly from all
+    12000, transforms.py:298-309)."""
+    import os
+
+    from detectinblur_tpu.data.blur_sampling import load_psf_bank
+
+    for p in range(1, 4):
+        for e in range(0, 5):
+            d = tmp_path / f"P{p}E{e}"
+            os.makedirs(d)
+            for i in range(8):
+                psf = np.full((128, 128), float(i), np.float16)
+                with open(d / f"I{i:06d}", "wb") as f:
+                    np.save(f, psf)
+    b0 = load_psf_bank(str(tmp_path), max_bank=4, epoch=0)
+    b1 = load_psf_bank(str(tmp_path), max_bank=4, epoch=1)
+    assert b0.shape == b1.shape == (3, 5, 4, 128, 128)
+    ids0 = sorted(set(b0[0, 0, :, 0, 0].astype(int)))
+    ids1 = sorted(set(b1[0, 0, :, 0, 0].astype(int)))
+    assert ids0 == [0, 2, 4, 6] and ids1 == [1, 3, 5, 7]
+    # epoch cycles modulo the stride; HBM footprint unchanged.
+    b2 = load_psf_bank(str(tmp_path), max_bank=4, epoch=2)
+    np.testing.assert_array_equal(b2, b0)

@@ -61,8 +61,8 @@ def test_loss_finite_and_grads_flow(tiny_model, rng):
     gt_valid = jnp.array([[True, True]] * 2)
 
     def total(p):
-        losses = model.loss(p, jax.random.key(2), imgs, hw, gt_boxes,
-                            gt_labels, gt_valid, bucket=(64, 64))
+        losses, _ = model.loss(p, jax.random.key(2), imgs, hw, gt_boxes,
+                               gt_labels, gt_valid, bucket=(64, 64))
         return sum(losses.values()), losses
 
     (tot, losses), grads = jax.value_and_grad(total, has_aux=True)(params)
@@ -80,8 +80,8 @@ def test_empty_gt_image(tiny_model, rng):
     gt_boxes = jnp.zeros((1, 2, 4))
     gt_labels = jnp.zeros((1, 2), jnp.int32)
     gt_valid = jnp.zeros((1, 2), bool)
-    losses = model.loss(params, jax.random.key(0), imgs, hw, gt_boxes,
-                        gt_labels, gt_valid, bucket=(64, 64))
+    losses, _ = model.loss(params, jax.random.key(0), imgs, hw, gt_boxes,
+                           gt_labels, gt_valid, bucket=(64, 64))
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
 

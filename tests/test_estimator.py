@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -210,3 +211,53 @@ def test_estimator_label_lehe_stored_override():
     est = jnp.array([3, -1, 2, -1])
     labels = np.asarray(estimator_label_lehe(blurring, param, frac, est))
     np.testing.assert_array_equal(labels, [3, 2, 2, 0])
+
+
+def test_apply_corruptions_per_image_draws():
+    """Corruption randomness is per IMAGE, like the reference's per-image
+    manual_blur calls (blur_functions.py:72-88): two images in one batch
+    get different noise fields / block scales, and the same key reproduces
+    them exactly (VERDICT r2 item 3b)."""
+    from detectinblur_tpu.train.estimator_engine import apply_corruptions
+
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(np.tile(rng.random((1, 24, 24, 3)), (2, 1, 1, 1)),
+                       jnp.float32)  # identical images
+    key = jax.random.key(42)
+    noised = apply_corruptions(key, base, add_noise=True, noise_level=0.01)
+    a, b = np.asarray(noised[0]), np.asarray(noised[1])
+    assert not np.allclose(a, b), "noise must differ per image"
+    # Noise VARIANCE differs per image too (per-image var draw), not just
+    # the field: compare per-image std of the delta.
+    d0 = (a - np.asarray(base[0])).std()
+    d1 = (b - np.asarray(base[1])).std()
+    assert abs(d0 - d1) > 1e-5
+    # Deterministic given the key.
+    again = apply_corruptions(key, base, add_noise=True, noise_level=0.01)
+    np.testing.assert_array_equal(np.asarray(noised), np.asarray(again))
+    # Fresh key -> fresh draws.
+    other = apply_corruptions(jax.random.key(7), base, add_noise=True,
+                              noise_level=0.01)
+    assert not np.allclose(np.asarray(noised), np.asarray(other))
+
+
+def test_apply_corruptions_block_and_jpeg_per_image():
+    """Block decision/scale and JPEG decision/quality draw per image: over
+    a batch of identical images some get corrupted and some don't."""
+    from detectinblur_tpu.train.estimator_engine import apply_corruptions
+
+    rng = np.random.default_rng(1)
+    one = rng.random((1, 32, 32, 3))
+    base = jnp.asarray(np.tile(one, (16, 1, 1, 1)), jnp.float32)
+    out = apply_corruptions(jax.random.key(3), base, add_block=True)
+    changed = [not np.allclose(np.asarray(out[i]), one[0], atol=1e-6)
+               for i in range(16)]
+    assert any(changed) and not all(changed), (
+        "with p=.5 per image, 16 identical images should split")
+    outj = apply_corruptions(jax.random.key(5), base, add_jpeg=True)
+    deltas = [float(jnp.abs(outj[i] - base[i]).max()) for i in range(16)]
+    hit = [d > 1e-6 for d in deltas]
+    assert any(hit) and not all(hit)
+    # JPEG quality differs among corrupted images.
+    hits = sorted(d for d in deltas if d > 1e-6)
+    assert len(set(np.round(hits, 7))) > 1

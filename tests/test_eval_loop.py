@@ -1,0 +1,154 @@
+"""Eval-loop protocol tests: DistributedSampler-faithful per-host shards,
+image-id dedup at the cross-host merge (coco_eval.py:182-211 semantics),
+and per-iteration corruption-key threading (VERDICT r2 items 3/4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from detectinblur_tpu.data.loader import DetectionLoader
+from detectinblur_tpu.train.eval_loop import dedup_across_hosts, evaluate_coco
+
+
+class _IndexOnlyDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+
+@pytest.mark.parametrize("num_processes", [2, 8])
+@pytest.mark.parametrize("n", [37, 40, 5])
+def test_eval_shards_cover_every_image(num_processes, n):
+    """torch's DistributedSampler pads so every rank sees ceil(n/P) and the
+    union covers the whole dataset (train.py:186-189); without the pad up
+    to P-1 val images are silently never evaluated."""
+    ds = _IndexOnlyDataset(n)
+    per = -(-n // num_processes)
+    shards = []
+    for p in range(num_processes):
+        loader = DetectionLoader(ds, 1, shuffle=False, drop_last=False,
+                                 num_processes=num_processes, process_index=p)
+        idx = loader._epoch_indices()
+        assert len(idx) == per
+        shards.append(idx)
+    union = np.unique(np.concatenate(shards))
+    np.testing.assert_array_equal(union, np.arange(n))
+    # Total duplication is exactly the pad amount.
+    assert sum(len(s) for s in shards) - n == per * num_processes - n
+    # Shuffled epochs keep the coverage property.
+    loaders = [DetectionLoader(ds, 1, shuffle=True, drop_last=False,
+                               num_processes=num_processes, process_index=p)
+               for p in range(num_processes)]
+    for ld in loaders:
+        ld.set_epoch(3)
+    union = np.unique(np.concatenate([ld._epoch_indices() for ld in loaders]))
+    np.testing.assert_array_equal(union, np.arange(n))
+
+
+def test_single_process_shard_unpadded():
+    ds = _IndexOnlyDataset(7)
+    loader = DetectionLoader(ds, 1, shuffle=False, num_processes=1,
+                             process_index=0)
+    np.testing.assert_array_equal(loader._epoch_indices(), np.arange(7))
+
+
+def test_dedup_across_hosts_keeps_first():
+    """An image evaluated on two hosts (shard pad wrap-around) must count
+    once — the reference merge dedups by unique img id, keeping first
+    occurrences (coco_eval.py:204-211)."""
+    r = lambda img, score: {"image_id": img, "category_id": 1,
+                            "bbox": [0.0, 0.0, 10.0, 10.0], "score": score}
+    host0 = [r(1, 0.9), r(1, 0.8), r(2, 0.7)]
+    host1 = [r(2, 0.6), r(3, 0.5)]  # image 2 re-evaluated on host 1
+    out = dedup_across_hosts([[1, 2], [2, 3]], [host0, host1])
+    assert [x["image_id"] for x in out] == [1, 1, 2, 3]
+    assert [x["score"] for x in out] == [0.9, 0.8, 0.7, 0.5]
+
+
+def test_dedup_respects_zero_detection_images():
+    """A zero-detection image still claims its id: a later host's duplicate
+    detections for it must be dropped."""
+    r = lambda img: {"image_id": img, "category_id": 1,
+                     "bbox": [0.0, 0.0, 5.0, 5.0], "score": 0.4}
+    # Host 0 evaluated image 5 (no detections); host 1 re-evaluated it.
+    out = dedup_across_hosts([[5, 6], [5]], [[r(6)], [r(5)]])
+    assert [x["image_id"] for x in out] == [6]
+
+
+class _FakeLoader:
+    """Two one-image batches, shaped like DetectionLoader output."""
+
+    def __init__(self):
+        from detectinblur_tpu.train.engine import BlurBatch
+        import jax.numpy as jnp
+
+        def mk(i):
+            return BlurBatch(
+                images=jnp.zeros((1, 8, 8, 3)), hw=jnp.array([[8, 8]]),
+                psfs=jnp.zeros((1, 128, 128)),
+                blurring=jnp.zeros((1,), bool),
+                thetas=jnp.zeros((1,)), lam1s=jnp.ones((1,)),
+                lam2s=jnp.ones((1,)),
+                param_index=jnp.full((1,), -1, jnp.int32),
+                fraction_index=jnp.full((1,), -1, jnp.int32),
+                gt_boxes=jnp.zeros((1, 2, 4)),
+                gt_labels=jnp.zeros((1, 2), jnp.int32),
+                gt_valid=jnp.zeros((1, 2), bool),
+                est_label=jnp.full((1,), -1, jnp.int32),
+            ), (8, 8), [i + 1]
+
+        self.batches = [mk(0), mk(1)]
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def _tiny_index():
+    from detectinblur_tpu.eval.coco_index import COCOIndex
+
+    return COCOIndex({
+        "images": [{"id": 1, "height": 8, "width": 8},
+                   {"id": 2, "height": 8, "width": 8}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [1.0, 1.0, 4.0, 4.0], "area": 16.0, "iscrowd": 0},
+            {"id": 2, "image_id": 2, "category_id": 1,
+             "bbox": [2.0, 2.0, 4.0, 4.0], "area": 16.0, "iscrowd": 0},
+        ],
+        "categories": [{"id": 1}],
+    })
+
+
+def test_evaluate_coco_threads_fresh_keys():
+    """evaluate_coco calls eval_step(params, batch, key) with a distinct
+    per-iteration key (fold_in over the iteration index) — eval-time
+    corruption sweeps must not reuse one fixed key — and the stream is
+    deterministic given the seed (VERDICT r2 weak 1)."""
+    from detectinblur_tpu.models.faster_rcnn import Detections
+    import jax.numpy as jnp
+
+    seen = []
+
+    def eval_step(params, batch, key):
+        seen.append(np.asarray(jax.random.key_data(key)).copy())
+        dets = Detections(
+            boxes=jnp.asarray([[[1.0, 1.0, 5.0, 5.0]]]),
+            scores=jnp.asarray([[0.9]]),
+            labels=jnp.asarray([[1]]),
+            valid=jnp.asarray([[True]]),
+        )
+        return dets, batch.gt_boxes
+
+    stats = evaluate_coco(eval_step, None, _FakeLoader(), _tiny_index(),
+                          print_freq=1000)
+    assert stats.shape[0] == 19
+    assert len(seen) == 2
+    assert not np.array_equal(seen[0], seen[1])
+    first_run = [s.copy() for s in seen]
+    seen.clear()
+    evaluate_coco(eval_step, None, _FakeLoader(), _tiny_index(),
+                  print_freq=1000)
+    for a, b in zip(first_run, seen):
+        np.testing.assert_array_equal(a, b)

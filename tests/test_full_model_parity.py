@@ -74,7 +74,7 @@ def test_full_graph_parity_torch_oracle():
     batched, new_hw = preprocess_batch(jimgs, hw, (128, 160), None, None,
                                        cfg.min_size, cfg.max_size)
     assert tuple(np.asarray(new_hw[0])) == ref["new_hw"]
-    jfeats = model._features(params, batched, None, None, None, True)
+    jfeats, _ = model._features(params, batched, None, None, None, True)
     for lvl, (jf, rf) in enumerate(zip(jfeats, ref["feats"])):
         ours = np.asarray(jf[0])                       # [H, W, C]
         theirs = rf.transpose(1, 2, 0)                 # CHW -> HWC
@@ -163,7 +163,7 @@ def test_rpn_proposals_match_torchvision(rng):
     hw = jnp.asarray([[h, w]])
     batched, new_hw = preprocess_batch(jimgs, hw, bucket, None, None,
                                        cfg.min_size, cfg.max_size)
-    jfeats = model._features(params, batched, None, None, None, True)
+    jfeats, _ = model._features(params, batched, None, None, None, True)
     rpn_out = run_rpn(params["rpn_head"], model.rpn_head, jfeats, new_hw,
                       training=False, cfg=cfg.rpn)
     j_props = np.asarray(rpn_out.proposals[0])
