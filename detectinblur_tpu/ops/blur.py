@@ -48,26 +48,76 @@ def _fast_fft_size(n: int) -> int:
     return best
 
 
+def _reflect_idx(x: jax.Array, n) -> jax.Array:
+    """np.pad('reflect') source index for any integer coordinate ``x`` into
+    an ``n``-long axis (period 2n-2, no edge repeat); n may be traced."""
+    p = jnp.maximum(2 * n - 2, 1)
+    m = jnp.mod(x, p)
+    return jnp.where(m < n, m, p - m)
+
+
+def pad_for_blur(image: jax.Array, k: int, hw=None) -> jax.Array:
+    """Blur padding for one image [C, Hc, Wc] -> [C, Hc+k-1, Wc+k-1].
+
+    ``hw=None``: the whole canvas is the image (static jnp.pad, the
+    original path). ``hw=(h, w)`` (traced): the image occupies the
+    top-left [h, w] of the canvas and the PADDING IS COMPUTED AGAINST THE
+    VALID REGION, not the canvas — reflect (k=128, h,w >= 64) / zero
+    (k=128, small) / edge (k=256) indices relative to (h, w), exactly as
+    the reference pads each image at its own size before blurring
+    (blur_functions.py:43-69). Without this, a batched canvas blur pulls
+    the canvas' zero padding into the bottom/right image edges — up to a
+    64px-deep band darkens and detections there drift off the reference.
+
+    One caveat vs the per-image oracle: the circular wrap of the Fourier
+    convolution lands at canvas+k-1 instead of h+k-1. Only taps on the
+    PSF's outermost ring (row/col k-1, i.e. offset +k/2) can reach the
+    wrapped border at all, and sampled camera-shake trajectories carry
+    ~zero mass there, so the difference is below float noise in practice.
+    """
+    c = k // 2 - 1
+    C, Hc, Wc = image.shape
+    if hw is None:
+        pads = (c, k - c - 1)
+        mode = _pad_mode(k, Hc, Wc)
+        return jnp.pad(image, [(0, 0), pads, pads], mode=mode)
+    h, w = hw[0], hw[1]
+    xs_r = jnp.arange(Hc + k - 1) - c
+    xs_c = jnp.arange(Wc + k - 1) - c
+    if k > 129:
+        ridx = jnp.clip(xs_r, 0, h - 1)
+        cidx = jnp.clip(xs_c, 0, w - 1)
+        return image[:, ridx][:, :, cidx]
+    refl = (h >= 64) & (w >= 64)
+    ridx = jnp.where(refl, _reflect_idx(xs_r, h), jnp.clip(xs_r, 0, h - 1))
+    cidx = jnp.where(refl, _reflect_idx(xs_c, w), jnp.clip(xs_c, 0, w - 1))
+    g = image[:, ridx][:, :, cidx]
+    # Small images pad with zeros (constant mode), not clamped edges.
+    inb = ((xs_r >= 0) & (xs_r < h))[:, None] & ((xs_c >= 0) & (xs_c < w))
+    return jnp.where(refl | inb[None], g, 0.0).astype(image.dtype)
+
+
 def fft_blur(
     image: jax.Array,
     psf: jax.Array,
     exact: bool = False,
+    hw=None,
 ) -> jax.Array:
-    """Blur ``image`` [..., H, W] with ``psf`` [k, k] (k in {128, 256}).
+    """Blur ``image`` [C, H, W] with ``psf`` [k, k] (k in {128, 256}).
 
     ``exact=True`` reproduces the reference roll-loop circularity exactly
     (padded size H+k-1); ``exact=False`` rounds the FFT size up to a
     2/3/5-smooth value for speed (differs from the reference only in the
-    wraparound treatment of the outermost pixel ring).
+    wraparound treatment of the outermost pixel ring). ``hw`` marks the
+    valid top-left region when the canvas is larger than the image (see
+    pad_for_blur).
     """
     k = psf.shape[-1]
     h, w = image.shape[-2], image.shape[-1]
     c = k // 2 - 1  # 63 for k=128, 127 for k=256
-    pads = (c, k - c - 1)  # (63, 64) / (127, 128)
     mode = _pad_mode(k, h, w)
 
-    pad_width = [(0, 0)] * (image.ndim - 2) + [pads, pads]
-    padded = jnp.pad(image, pad_width, mode=mode)
+    padded = pad_for_blur(image, k, hw)
     hp, wp = padded.shape[-2], padded.shape[-1]
 
     if not exact:
@@ -96,7 +146,7 @@ def _dft_mats(n: int, dtype):
     return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
 
 
-def dft_blur(image: jax.Array, psf: jax.Array) -> jax.Array:
+def dft_blur(image: jax.Array, psf: jax.Array, hw=None) -> jax.Array:
     """``fft_blur(exact=True)`` computed as MXU matmuls instead of FFT.
 
     XLA:TPU's FFT is ~4x slower than the equivalent dense DFT on the MXU at
@@ -109,10 +159,7 @@ def dft_blur(image: jax.Array, psf: jax.Array) -> jax.Array:
     k = psf.shape[-1]
     h, w = image.shape[-2], image.shape[-1]
     c = k // 2 - 1
-    pads = (c, k - c - 1)
-    mode = _pad_mode(k, h, w)
-    pad_width = [(0, 0)] * (image.ndim - 2) + [pads, pads]
-    padded = jnp.pad(image, pad_width, mode=mode)
+    padded = pad_for_blur(image, k, hw)
     hp, wp = padded.shape[-2], padded.shape[-1]
 
     kern = jnp.zeros((hp, wp), jnp.float32).at[:k, :k].set(
@@ -144,17 +191,18 @@ def dft_blur(image: jax.Array, psf: jax.Array) -> jax.Array:
 
 
 def apply_psf_blur(image: jax.Array, psf: jax.Array, normalize: bool = True,
-                   exact: bool = False) -> jax.Array:
+                   exact: bool = False, hw=None) -> jax.Array:
     """Blur one image [C, H, W] with a PSF, normalizing the PSF to unit sum
-    first (as blur_image_list does, blur_functions.py:98)."""
+    first (as blur_image_list does, blur_functions.py:98). ``hw`` marks the
+    valid top-left region for canvas-batched images (pad_for_blur)."""
     if normalize:
         psf = psf / jnp.maximum(jnp.sum(psf), 1e-20)
     from detectinblur_tpu.models.resnet import CONV_PRECISION
 
     if (not exact and CONV_PRECISION == jax.lax.Precision.DEFAULT
             and jax.default_backend() in ("tpu", "axon")):
-        return dft_blur(image, psf)
-    return fft_blur(image, psf, exact=exact)
+        return dft_blur(image, psf, hw=hw)
+    return fft_blur(image, psf, exact=exact, hw=hw)
 
 
 @functools.partial(jax.jit, static_argnames=("exact",))
@@ -163,6 +211,7 @@ def batched_blur(
     psfs: jax.Array,
     blurring: jax.Array,
     exact: bool = False,
+    hw: jax.Array = None,
 ) -> jax.Array:
     """Blur a batch: images [B, C, H, W], psfs [B, k, k], blurring [B] bool.
 
@@ -170,9 +219,28 @@ def batched_blur(
     Entire batch runs as one fused device computation — this is the op that
     replaces the reference's per-image Python dispatch so the input pipeline
     never chokes the host (README.md:8).
-    """
-    def one(img, psf, on):
-        blurred = apply_psf_blur(img, psf, exact=exact)
-        return jnp.where(on, blurred, img)
 
-    return jax.vmap(one)(images, psfs, blurring)
+    ``hw`` [B, 2] gives each image's valid extent on the canvas: the blur
+    pads against the VALID region like the reference's per-image blur
+    (pad_for_blur), and the canvas outside it is re-zeroed afterwards (the
+    blurred reflect-extension must not leak into the batch padding, which
+    downstream resize/normalize assume is zero, like torchvision's
+    batch_images zero fill).
+    """
+    if hw is None:
+        def one(img, psf, on):
+            blurred = apply_psf_blur(img, psf, exact=exact)
+            return jnp.where(on, blurred, img)
+
+        return jax.vmap(one)(images, psfs, blurring)
+
+    Hc, Wc = images.shape[-2], images.shape[-1]
+    rows = jnp.arange(Hc)
+    cols = jnp.arange(Wc)
+
+    def one(img, psf, on, hwi):
+        blurred = apply_psf_blur(img, psf, exact=exact, hw=hwi)
+        valid = (rows < hwi[0])[:, None] & (cols < hwi[1])
+        return jnp.where(on & valid[None], blurred, img)
+
+    return jax.vmap(one)(images, psfs, blurring, hw)

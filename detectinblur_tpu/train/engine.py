@@ -75,7 +75,10 @@ def apply_blur_and_expand(
 
         psfs = jax.vmap(dilate_psf)(psfs, dilate_psf_sigma)
     imgs_chw = jnp.transpose(batch.images, (0, 3, 1, 2))
-    blurred = batched_blur(imgs_chw, psfs, batch.blurring, exact=exact_blur)
+    # hw: pad against each image's VALID extent (reference blurs per image
+    # at its own size) instead of the batched canvas — see batched_blur.
+    blurred = batched_blur(imgs_chw, psfs, batch.blurring, exact=exact_blur,
+                           hw=batch.hw)
     images = jnp.transpose(blurred, (0, 2, 3, 1))
     if key is not None and (add_noise or add_block or add_jpeg):
         from detectinblur_tpu.train.estimator_engine import apply_corruptions

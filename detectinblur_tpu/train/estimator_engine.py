@@ -102,7 +102,7 @@ def blur_batch_images(batch: BlurBatch, resize_images: bool = False) -> jax.Arra
     """
     if not resize_images:
         chw = jnp.transpose(batch.images, (0, 3, 1, 2))
-        blurred = batched_blur(chw, batch.psfs, batch.blurring)
+        blurred = batched_blur(chw, batch.psfs, batch.blurring, hw=batch.hw)
         return jnp.transpose(blurred, (0, 2, 3, 1))
 
     Hb, Wb = batch.images.shape[1:3]
@@ -117,7 +117,7 @@ def blur_batch_images(batch: BlurBatch, resize_images: bool = False) -> jax.Arra
 
     big, big_hw = jax.vmap(up)(batch.images, batch.hw)
     chw = jnp.transpose(big, (0, 3, 1, 2))
-    blurred = batched_blur(chw, batch.psfs, batch.blurring)
+    blurred = batched_blur(chw, batch.psfs, batch.blurring, hw=big_hw)
     big = jnp.transpose(blurred, (0, 2, 3, 1))
     down = jax.vmap(lambda img, bs, s: resize_valid(img, bs, s, (Hb, Wb)))
     out = down(big, big_hw, batch.hw)

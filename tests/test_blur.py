@@ -144,3 +144,47 @@ def test_engine_default_blur_is_exact_in_parity_mode():
     exact = apply_blur_and_expand(batch, False, exact_blur=True)
     np.testing.assert_array_equal(np.asarray(default.images),
                                   np.asarray(exact.images))
+
+
+def test_batched_blur_valid_region_matches_per_image_oracle(rng):
+    """Canvas-batched blur with hw pads against the VALID region, not the
+    canvas (pad_for_blur): each image on a larger zero-padded canvas blurs
+    exactly like the reference's per-image blur at its own size
+    (blur_functions.py:43-69), and the canvas outside stays zero. Without
+    valid-region padding the canvas' zeros bleed ~64px into the image's
+    bottom/right edges."""
+    canvas_h, canvas_w = 128, 160
+    shapes = [(110, 150), (96, 128), (128, 160), (70, 90)]
+    psfs = np.stack([_rand_sparse_psf(rng) for _ in shapes])
+    imgs = np.zeros((len(shapes), 3, canvas_h, canvas_w), np.float32)
+    per_image = []
+    for i, (h, w) in enumerate(shapes):
+        raw = rng.random((3, h, w), dtype=np.float32)
+        imgs[i, :, :h, :w] = raw
+        per_image.append(numpy_roll_blur_oracle(raw, psfs[i]))
+
+    out = np.asarray(batched_blur(
+        jnp.asarray(imgs), jnp.asarray(psfs),
+        jnp.ones(len(shapes), bool), exact=True,
+        hw=jnp.asarray(shapes)))
+    for i, (h, w) in enumerate(shapes):
+        np.testing.assert_allclose(out[i, :, :h, :w], per_image[i],
+                                   atol=3e-5)
+        # Outside the valid region the canvas is re-zeroed.
+        if h < canvas_h:
+            assert np.abs(out[i, :, h:, :]).max() == 0.0
+        if w < canvas_w:
+            assert np.abs(out[i, :, :, w:]).max() == 0.0
+
+
+def test_batched_blur_valid_region_full_canvas_unchanged(rng):
+    """hw == canvas must reproduce the hw=None path bit-for-bit."""
+    imgs = rng.random((2, 3, 70, 81), dtype=np.float32)
+    psfs = np.stack([_rand_sparse_psf(rng) for _ in range(2)])
+    on = jnp.ones(2, bool)
+    a = np.asarray(batched_blur(jnp.asarray(imgs), jnp.asarray(psfs), on,
+                                exact=True))
+    b = np.asarray(batched_blur(jnp.asarray(imgs), jnp.asarray(psfs), on,
+                                exact=True,
+                                hw=jnp.asarray([[70, 81], [70, 81]])))
+    np.testing.assert_allclose(a, b, atol=1e-6)
