@@ -79,11 +79,13 @@ class _StemConv(nn.Module):
     VALID conv over factor-2 s2d phases) makes the conv itself 3x faster,
     but XLA tiles any C<=3-minor tensor with 42x lane-padding amplification
     so the surrounding pad/reshape copies cost more than they save (11.3 ms
-    vs 8.0 ms for the plain conv in bf16); a fused Pallas stem
-    (ops/stem_pallas.py) removes the copies but currently only lowers in
-    interpreter mode (Mosaic strided-slice limitations). Until that lands,
-    the plain conv is the fastest correct choice. The parameter keeps the
-    torchvision [7,7,3,64] shape at tree path conv1/kernel.
+    vs 8.0 ms for the plain conv in bf16). A fused Pallas stem
+    (s2d+conv+bn+relu+maxpool) was exact in interpreter mode but Mosaic
+    refuses its strided slices (re-probed against the current toolchain,
+    still blocked: "Shape mismatch in input, indices and output"), so the
+    kernel was removed (git history: ops/stem_pallas.py) and the plain conv
+    remains the fastest correct choice. The parameter keeps the torchvision
+    [7,7,3,64] shape at tree path conv1/kernel.
     """
 
     features: int = 64
