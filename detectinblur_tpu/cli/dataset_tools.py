@@ -31,7 +31,10 @@ def render_gopro_synth(args):
     os.makedirs(os.path.join(args.output_dir, "sharp"), exist_ok=True)
     for i in range(min(len(ds), args.limit)):
         item = ds[i]
-        img = Image.fromarray((item["image"] * 255).astype(np.uint8))
+        arr = item["image"]
+        if arr.dtype != np.uint8:
+            arr = (arr * 255).astype(np.uint8)
+        img = Image.fromarray(arr)
         img.save(os.path.join(args.output_dir, f"blur/{i:05d}.png"))
         with open(os.path.join(args.output_dir, f"blur/{i:05d}.dat"), "wb") as f:
             pickle.dump({k: item[k] for k in ("boxes", "labels", "area", "iscrowd")}, f)

@@ -197,8 +197,11 @@ def augment_and_mix(
     modify_target_boxes: bool = False,
     masks: np.ndarray | None = None,
 ):
-    """image01 [H, W, 3] float 0..1, masks [N, H, W] float 0/1 or None.
-    Returns (mixed01, boxes', masks')."""
+    """image01 [H, W, 3] float 0..1 or uint8 (item transport dtype), masks
+    [N, H, W] float 0/1 or None. Returns (mixed01 float 0..1, boxes',
+    masks')."""
+    if image01.dtype == np.uint8:
+        image01 = image01.astype(np.float32) / 255.0
     ws = rng.dirichlet([alpha] * width).astype(np.float32)
     m = np.float32(rng.beta(alpha, alpha))
     if severity == -1:

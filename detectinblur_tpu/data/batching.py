@@ -86,19 +86,57 @@ def hflip_item(item: Dict) -> Dict:
     return out
 
 
+GT_BUCKETS = (8, 16, 32, 64, 100)
+
+
+def gt_bucket_for_batch(counts, max_gt: int = 100) -> int:
+    """Static GT-slot count for a batch: the smallest GT_BUCKETS entry
+    covering the batch's largest annotation count (capped at ``max_gt``).
+
+    The train step's anchor assignment / target expansion cost scales with
+    the static G dimension (an [anchors, G] IoU matrix per image), and a
+    fixed G=100 pad made the REAL loader-fed step 2.7x slower than the
+    same step at G=16 — while typical COCO batches carry <= 16 boxes.
+    Bucketing keeps the pipeline fixed-shape (one retrace per bucket,
+    5 programs max) at the cheap shape almost always."""
+    need = min(max(counts, default=1), max_gt)
+    for b in GT_BUCKETS:
+        if need <= b:
+            return min(b, max_gt)
+    return max_gt
+
+
 def build_blur_batch(
     items: List[Dict],
     decisions: List[BlurDecision],
     psf_bank: Optional[np.ndarray],     # [P, F, N, 128, 128] or None
     source_bucket: Tuple[int, int],
     max_gt: int = 100,
+    bucket_gt: bool = True,
 ):
-    """Assemble a BlurBatch (numpy) for a list of same-bucket items."""
+    """Assemble a BlurBatch (numpy) for a list of same-bucket items.
+
+    With ``bucket_gt`` (the single-host default) GT arrays are padded to
+    the batch's GT bucket (gt_bucket_for_batch) instead of to ``max_gt``.
+    Multi-host loaders must pass ``bucket_gt=False``: in SPMD every host
+    must feed the SAME program shape each step, and hosts' local batches
+    carry different annotation counts — a host-local G bucket would
+    deadlock the collectives."""
     from detectinblur_tpu.train.engine import BlurBatch
 
     B = len(items)
     Hb, Wb = source_bucket
-    images = np.zeros((B, Hb, Wb, 3), np.float32)
+    if bucket_gt:
+        max_gt = gt_bucket_for_batch([len(it["boxes"]) for it in items],
+                                     max_gt)
+    # uint8 image transport: 4x less host->device traffic and host canvas
+    # bandwidth than an f32 canvas, and bit-faithful to the reference's
+    # pipeline, which stays PIL-uint8 until ToTensor (transforms.py:173-176)
+    # — f32 items that came from uint8 decode round-trip exactly; float
+    # augmentation outputs (AugMix, GOPROSynth frame averages) quantize to
+    # 1/255 just like the reference's return to PIL. Device entry points
+    # rescale to f32 0..1 (train.engine.images01).
+    images = np.zeros((B, Hb, Wb, 3), np.uint8)
     hw = np.zeros((B, 2), np.int32)
     psfs = np.zeros((B, 128, 128), np.float32)
     blurring = np.zeros(B, bool)
@@ -114,7 +152,11 @@ def build_blur_batch(
         img = item["image"]
         h, w = img.shape[:2]
         assert h <= Hb and w <= Wb, (h, w, source_bucket)
-        images[i, :h, :w] = img
+        if img.dtype == np.uint8:
+            images[i, :h, :w] = img
+        else:
+            images[i, :h, :w] = np.rint(
+                np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
         hw[i] = (h, w)
         n = min(len(item["boxes"]), max_gt)
         gt_boxes[i, :n] = item["boxes"][:n]

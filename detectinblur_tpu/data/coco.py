@@ -20,8 +20,9 @@ from detectinblur_tpu.eval import rle as rle_mod
 
 
 class CocoDetection:
-    """Yields dicts: image [H, W, 3] float32 0..1, boxes [N, 4] xyxy,
-    labels [N], image_id, iscrowd, area, (optional masks)."""
+    """Yields dicts: image [H, W, 3] uint8 (or float32 0..1 — both are
+    valid item dtypes), boxes [N, 4] xyxy, labels [N], image_id, iscrowd,
+    area, (optional masks)."""
 
     def __init__(
         self,
@@ -60,7 +61,10 @@ class CocoDetection:
         info = self.index.imgs[img_id]
         path = os.path.join(self.img_dir, info["file_name"])
         with Image.open(path) as im:
-            return np.asarray(im.convert("RGB"), np.float32) / 255.0
+            # uint8, like the reference keeps PIL images until ToTensor
+            # (transforms.py:173-176); batches ship uint8 to the device
+            # and rescale there (train.engine.images01).
+            return np.asarray(im.convert("RGB"))
 
     def __getitem__(self, i: int) -> Dict:
         img_id = self.ids[i]

@@ -187,18 +187,20 @@ class DetectionLoader:
                 pending[bucket].append((item, dec))
                 if len(pending[bucket]) == self.batch_size:
                     items, decs = zip(*pending[bucket])
-                    out_q.put((build_blur_batch(list(items), list(decs),
-                                                self.psf_bank, bucket,
-                                                self.max_gt), bucket,
+                    out_q.put((build_blur_batch(
+                        list(items), list(decs), self.psf_bank, bucket,
+                        self.max_gt,
+                        bucket_gt=self.num_processes == 1), bucket,
                                [it["image_id"] for it in items]))
                     pending[bucket] = []
             if not self.drop_last:
                 for bucket, lst in pending.items():
                     if lst:
                         items, decs = zip(*lst)
-                        out_q.put((build_blur_batch(list(items), list(decs),
-                                                    self.psf_bank, bucket,
-                                                    self.max_gt), bucket,
+                        out_q.put((build_blur_batch(
+                            list(items), list(decs), self.psf_bank, bucket,
+                            self.max_gt,
+                            bucket_gt=self.num_processes == 1), bucket,
                                    [it["image_id"] for it, _ in lst]))
         finally:
             out_q.put(None)

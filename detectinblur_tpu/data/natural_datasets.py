@@ -1,6 +1,6 @@
 """Natural-blur datasets (custom_datasets.py equivalent).
 
-All return the framework's standard item dict (image [H, W, 3] 0..1, boxes
+All return the framework's standard item dict (image [H, W, 3] uint8, boxes
 xyxy, labels, area, iscrowd, image_id) with pseudo-ground-truth boxes read
 from per-image ``*_DORS.npy`` dumps: arrays indexed by coco80 class, each
 [N, 5] (x1, y1, x2, y2, confidence), thresholded at 0.4-0.6 and remapped
@@ -68,7 +68,7 @@ class _DORSDataset:
 
     def __getitem__(self, idx: int):
         with Image.open(self.image_paths[idx]) as im:
-            image = np.asarray(im.convert("RGB"), np.float32) / 255.0
+            image = np.asarray(im.convert("RGB"))  # uint8 transport
         boxes, labels, areas = load_dors_targets(self.ann_paths[idx], self.threshold)
         return {
             "image": image,
@@ -217,7 +217,9 @@ class GOPROSynth:
             with Image.open(f) as im:
                 arr = np.asarray(im.convert("RGB"), np.float32)
             acc = arr if acc is None else acc + arr
-        image = acc / (2 * w + 1) / 255.0
+        # Truncating cast after clip, matching the reference's return to
+        # PIL (custom_datasets.py:753-757).
+        image = np.clip(acc / (2 * w + 1), 0, 255).astype(np.uint8)
 
         ann = frames[center].replace(".png", "_DORS.npy")
         boxes, labels, areas = load_dors_targets(ann, self.threshold)
@@ -234,7 +236,7 @@ class GOPROSynth:
             boxes = expand_boxes_with_flow(
                 boxes, fwd, bwd, image.shape[1], image.shape[0])
         return {
-            "image": image.astype(np.float32),
+            "image": image,
             "image_id": idx,
             "boxes": boxes,
             "labels": labels,
@@ -261,7 +263,7 @@ class GOPROSynthLoad:
 
         p = self.paths[idx]
         with Image.open(p) as im:
-            image = np.asarray(im.convert("RGB"), np.float32) / 255.0
+            image = np.asarray(im.convert("RGB"))  # uint8 transport
         with open(str(p).replace(".png", ".dat"), "rb") as f:
             t = pickle.load(f)
         boxes = np.asarray(t["boxes"], np.float32).reshape(-1, 4)
@@ -322,7 +324,7 @@ class GOPROBlurEst:
 
         img_path, ann_path, label = self.items[idx]
         with Image.open(img_path) as im:
-            image = np.asarray(im.convert("RGB"), np.float32) / 255.0
+            image = np.asarray(im.convert("RGB"))  # uint8 transport
         with open(ann_path, "rb") as f:
             t = pickle.load(f)
         boxes = np.asarray(t["boxes"], np.float32).reshape(-1, 4)

@@ -45,6 +45,21 @@ class BlurBatch(NamedTuple):
     est_label: jax.Array = None
 
 
+def images01(batch: BlurBatch) -> BlurBatch:
+    """Decode uint8 image transport to the f32 0..1 device convention.
+
+    Loader-built batches ship images as uint8 (4x less host->device
+    traffic and host canvas bandwidth; bit-faithful to the reference,
+    whose pipeline stays PIL-uint8 until ToTensor, transforms.py:173-176).
+    Synthetic/test batches built directly in f32 pass through unchanged.
+    Every jitted entry point (train step, eval preamble, estimator blur)
+    calls this first, so the cast+scale fuses into the program."""
+    if batch.images.dtype == jnp.uint8:
+        return batch._replace(
+            images=batch.images.astype(jnp.float32) / 255.0)
+    return batch
+
+
 def apply_blur_and_expand(
     batch: BlurBatch,
     expand_target_boxes: bool,
@@ -130,6 +145,7 @@ def make_train_step(
     with_bn = getattr(model, "has_bn", model.cfg.bn_mode is not None)
 
     def step(state: TrainState, bn_stats, batch: BlurBatch, key: jax.Array):
+        batch = images01(batch)
         key, bkey = jax.random.split(key)
         if blur_train:
             batch = apply_blur_and_expand(
@@ -169,6 +185,10 @@ def make_train_step(
         new_state, _, metrics = jitted(state, None, batch, key)
         return new_state, metrics
 
+    # The underlying jitted step, for AOT introspection (bench_pipeline.py
+    # reads XLA's FLOP count off one lowering instead of compiling a
+    # second wrapper program).
+    no_stats.jitted = jitted
     return no_stats
 
 
@@ -201,6 +221,7 @@ def prepare_eval_batch(
     (engine.py:301-342). Single-model (``make_eval_step``) and ensemble
     (``models/ensemble.py``) eval both run through here so the chains
     cannot diverge."""
+    batch = images01(batch)
     if key is None:
         key = jax.random.key(0)
     key, bkey, dkey = jax.random.split(key, 3)

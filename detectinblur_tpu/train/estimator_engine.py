@@ -100,6 +100,9 @@ def blur_batch_images(batch: BlurBatch, resize_images: bool = False) -> jax.Arra
     Non-blurring images skip the round trip entirely (blur_image_list
     :72-80 never touches them).
     """
+    from detectinblur_tpu.train.engine import images01
+
+    batch = images01(batch)
     if not resize_images:
         chw = jnp.transpose(batch.images, (0, 3, 1, 2))
         blurred = batched_blur(chw, batch.psfs, batch.blurring, hw=batch.hw)

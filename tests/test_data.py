@@ -357,3 +357,86 @@ def test_load_psf_bank_epoch_restride(tmp_path):
     # epoch cycles modulo the stride; HBM footprint unchanged.
     b2 = load_psf_bank(str(tmp_path), max_bank=4, epoch=2)
     np.testing.assert_array_equal(b2, b0)
+
+
+def test_gt_bucket_for_batch():
+    """GT arrays pad to the batch's bucket, not to max_gt=100: the train
+    step's assignment cost scales with the static G dimension (the real
+    loader-fed step measured 2.7x slower at G=100 than at G=16 for
+    typical <=16-box batches)."""
+    from detectinblur_tpu.data.batching import (build_blur_batch,
+                                                gt_bucket_for_batch)
+    from detectinblur_tpu.data.blur_sampling import BlurDecision
+
+    assert gt_bucket_for_batch([1, 3]) == 8
+    assert gt_bucket_for_batch([9]) == 16
+    assert gt_bucket_for_batch([17, 2]) == 32
+    assert gt_bucket_for_batch([64]) == 64
+    assert gt_bucket_for_batch([99, 150]) == 100
+    assert gt_bucket_for_batch([]) == 8
+    assert gt_bucket_for_batch([30], max_gt=20) == 20  # cap wins
+
+    rng = np.random.default_rng(0)
+    items = [{
+        "image": rng.random((40, 50, 3)).astype(np.float32),
+        "image_id": i,
+        "boxes": np.tile([[1.0, 1.0, 9.0, 9.0]], (n, 1)).astype(np.float32),
+        "labels": np.ones(n, np.int32),
+    } for i, n in enumerate((3, 11))]
+    decs = [BlurDecision(False, -1, -1, 0)] * 2
+    batch = build_blur_batch(items, decs, None, (40, 50))
+    assert batch.gt_boxes.shape == (2, 16, 4)
+    assert batch.gt_valid.sum() == 14
+
+    # Multi-host SPMD requires every host to feed the same program shape
+    # each step, so bucket_gt=False must keep the fixed max_gt pad.
+    fixed = build_blur_batch(items, decs, None, (40, 50), bucket_gt=False)
+    assert fixed.gt_boxes.shape == (2, 100, 4)
+
+
+def test_uint8_image_transport(rng):
+    """Batches ship images as uint8 (4x less h2d traffic; the reference
+    pipeline stays PIL-uint8 until ToTensor, transforms.py:173-176) and
+    the device entry rescale recovers the f32 0..1 convention exactly for
+    uint8-decoded sources; direct-f32 batches pass through untouched."""
+    import jax.numpy as jnp
+
+    from detectinblur_tpu.data.batching import build_blur_batch
+    from detectinblur_tpu.data.blur_sampling import BlurDecision
+    from detectinblur_tpu.train.engine import images01
+
+    u8 = rng.integers(0, 256, (40, 50, 3)).astype(np.uint8)
+    items = [{"image": u8, "image_id": 0,
+              "boxes": np.array([[1.0, 1.0, 9.0, 9.0]], np.float32),
+              "labels": np.ones(1, np.int32)},
+             {"image": u8.astype(np.float32) / 255.0, "image_id": 1,
+              "boxes": np.array([[1.0, 1.0, 9.0, 9.0]], np.float32),
+              "labels": np.ones(1, np.int32)}]
+    decs = [BlurDecision(False, -1, -1, 0)] * 2
+    batch = build_blur_batch(items, decs, None, (40, 50))
+    assert batch.images.dtype == jnp.uint8
+    # uint8 items copy bit-exact; f32 items that came from a uint8 decode
+    # round-trip to the identical bytes.
+    np.testing.assert_array_equal(np.asarray(batch.images[0]), u8)
+    np.testing.assert_array_equal(np.asarray(batch.images[1]), u8)
+    dec = images01(batch)
+    assert dec.images.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(dec.images[0]),
+                                  u8.astype(np.float32) / 255.0)
+    # Direct-f32 batches (tests, synthetic paths) pass through unchanged.
+    f32_batch = batch._replace(images=jnp.asarray(batch.images, jnp.float32))
+    assert images01(f32_batch).images is f32_batch.images
+
+
+def test_multihost_loader_keeps_fixed_gt_shape(rng):
+    """A num_processes>1 DetectionLoader must emit max_gt-padded GT arrays
+    (host-local G buckets would desynchronize the SPMD programs)."""
+    ds = FakeDataset(rng, n=8)
+    shapes = set()
+    for p in range(2):
+        loader = DetectionLoader(ds, batch_size=2, policy=BlurPolicy(prob=0.0),
+                                 shuffle=False, num_processes=2,
+                                 process_index=p, drop_last=False)
+        for batch, _, _ in loader:
+            shapes.add(batch.gt_boxes.shape[1])
+    assert shapes == {100}
