@@ -22,7 +22,11 @@ from flax import linen as nn
 
 from detectinblur_tpu.models.batchnorm import AdaptiveBatchNorm
 from detectinblur_tpu.models.detection_transform import preprocess_batch, resize_boxes
-from detectinblur_tpu.models.resnet import ResNet, CONV_PRECISION
+from detectinblur_tpu.models.resnet import (
+    ResNet,
+    CONV_PRECISION,
+    KAIMING_OUT_INIT,
+)
 from detectinblur_tpu.models.roi_heads import (
     BoxHeadConfig,
     FastRCNNPredictor,
@@ -40,10 +44,11 @@ SINGLE_MAP_ASPECT_RATIOS = ((0.5, 1.0, 2.0),)
 
 def _conv_bn6(ch, k, stride, name, groups=1, bn_mode="eval"):
     def apply(x):
+        # torchvision mobilenet_v2 init: kaiming_normal_(fan_out) convs.
         x = nn.Conv(ch, (k, k), strides=(stride, stride),
                     padding=[(k // 2, k // 2)] * 2, use_bias=False,
                     feature_group_count=groups, name=f"{name}_conv",
-                    precision=CONV_PRECISION)(x)
+                    precision=CONV_PRECISION, kernel_init=KAIMING_OUT_INIT)(x)
         x = AdaptiveBatchNorm(ch, mode=bn_mode, name=f"{name}_bn")(x)
         return jnp.minimum(nn.relu(x), 6.0)
 
@@ -66,7 +71,7 @@ class InvertedResidual(nn.Module):
         y = _conv_bn6(hidden, 3, self.stride, "depthwise", groups=hidden,
                       bn_mode=self.bn_mode)(y)
         y = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="project_conv",
-                    precision=CONV_PRECISION)(y)
+                    precision=CONV_PRECISION, kernel_init=KAIMING_OUT_INIT)(y)
         y = AdaptiveBatchNorm(self.out_ch, mode=self.bn_mode, name="project_bn")(y)
         if self.stride == 1 and in_ch == self.out_ch:
             y = x + y
@@ -114,8 +119,11 @@ class VGGFeatures(nn.Module):
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
+                # torchvision vgg init: kaiming_normal_(fan_out, relu),
+                # bias 0 (flax default).
                 x = nn.Conv(v, (3, 3), padding=[(1, 1)] * 2, name=f"conv{i}",
-                            precision=CONV_PRECISION)(x)
+                            precision=CONV_PRECISION,
+                            kernel_init=KAIMING_OUT_INIT)(x)
                 x = nn.relu(x)
                 i += 1
         return x

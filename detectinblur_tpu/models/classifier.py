@@ -29,8 +29,14 @@ class ResNetClassifier(nn.Module):
         norm = functools.partial(AdaptiveBatchNorm, mode=self.bn_mode)
         feats = ResNet(self.arch, norm=norm, name="body")(x)
         x = jnp.mean(feats[-1], axis=(1, 2))   # global average pool
+        # torch nn.Linear default init (the reference swaps resnet18's fc
+        # for a plain nn.Linear, train_blur_estimator.py:212-217).
+        from detectinblur_tpu.models.resnet import (
+            TORCH_LINEAR_KERNEL_INIT, torch_linear_bias_init)
         return nn.Dense(self.num_classes, name="fc",
-                        precision=jax.lax.Precision.HIGHEST)(x)
+                        precision=jax.lax.Precision.HIGHEST,
+                        kernel_init=TORCH_LINEAR_KERNEL_INIT,
+                        bias_init=torch_linear_bias_init(x.shape[-1]))(x)
 
 
 def estimator_label(blurring, param_index, fraction_index) -> jax.Array:

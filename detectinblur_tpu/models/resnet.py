@@ -56,6 +56,32 @@ ACT_DTYPE = (jnp.bfloat16 if CONV_PRECISION == jax.lax.Precision.DEFAULT
              else jnp.float32)
 
 
+# torchvision from-scratch initializers (matter when --pretrained is off,
+# train.py:219-221 with pretrained=False):
+#   * resnet convs: kaiming_normal_(fan_out, relu) = N(0, sqrt(2/fan_out))
+#   * FPN convs: kaiming_uniform_(a=1) = U(+-sqrt(3/fan_in)), bias 0
+#   * torch nn.Linear default: kaiming_uniform_(a=sqrt(5)) =
+#     U(+-1/sqrt(fan_in)) for the kernel AND the bias
+# flax's lecun_normal default is close in scale for the trunk but wrong for
+# heads like the RPN (torchvision uses N(0, 0.01) there — see models/rpn.py);
+# an untrained lecun RPN decodes wild deltas where torch's stays near the
+# anchors.
+KAIMING_OUT_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+FPN_CONV_INIT = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+TORCH_LINEAR_KERNEL_INIT = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_linear_bias_init(fan_in: int):
+    """torch nn.Linear bias default: U(+-1/sqrt(fan_in))."""
+    bound = 1.0 / float(fan_in) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def _conv(features, kernel, stride=1, name=None, padding=None, groups=1):
     if padding is None:
         padding = [(kernel // 2, kernel // 2)] * 2
@@ -69,6 +95,7 @@ def _conv(features, kernel, stride=1, name=None, padding=None, groups=1):
         name=name,
         dtype=ACT_DTYPE,
         precision=CONV_PRECISION,
+        kernel_init=KAIMING_OUT_INIT,
     )
 
 
@@ -93,7 +120,7 @@ class _StemConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
-        w7 = self.param("kernel", nn.initializers.lecun_normal(),
+        w7 = self.param("kernel", KAIMING_OUT_INIT,
                         (7, 7, cin, self.features))
         return jax.lax.conv_general_dilated(
             x, w7.astype(x.dtype), (2, 2), [(3, 3), (3, 3)],
@@ -201,7 +228,8 @@ class FPN(nn.Module):
     def __call__(self, feats: Sequence[jax.Array]):
         laterals = [
             nn.Conv(self.out_channels, (1, 1), name=f"inner_{i}",
-                    dtype=ACT_DTYPE, precision=CONV_PRECISION)(f)
+                    dtype=ACT_DTYPE, precision=CONV_PRECISION,
+                    kernel_init=FPN_CONV_INIT)(f)
             for i, f in enumerate(feats)
         ]
         ps = [laterals[-1]]
@@ -216,7 +244,7 @@ class FPN(nn.Module):
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
                     name=f"layer_{i}", dtype=ACT_DTYPE,
-                    precision=CONV_PRECISION)(p)
+                    precision=CONV_PRECISION, kernel_init=FPN_CONV_INIT)(p)
             for i, p in enumerate(ps)
         ]
         # LastLevelMaxPool: 1x1 window, stride 2 == subsample by 2.

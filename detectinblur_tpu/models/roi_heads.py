@@ -33,12 +33,21 @@ class TwoMLPHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from detectinblur_tpu.models.resnet import ACT_DTYPE, CONV_PRECISION as prec
+        from detectinblur_tpu.models.resnet import (
+            ACT_DTYPE, CONV_PRECISION as prec,
+            TORCH_LINEAR_KERNEL_INIT as kinit, torch_linear_bias_init)
         x = x.reshape(x.shape[0], -1)
+        # torch nn.Linear default init (the reference's TwoMLPHead has no
+        # custom init, models/faster_rcnn.py:253-257).
         x = nn.relu(nn.Dense(self.representation_size, name="fc6",
-                             dtype=ACT_DTYPE, precision=prec)(x))
+                             dtype=ACT_DTYPE, precision=prec,
+                             kernel_init=kinit,
+                             bias_init=torch_linear_bias_init(x.shape[-1]))(x))
         x = nn.relu(nn.Dense(self.representation_size, name="fc7",
-                             dtype=ACT_DTYPE, precision=prec)(x))
+                             dtype=ACT_DTYPE, precision=prec,
+                             kernel_init=kinit,
+                             bias_init=torch_linear_bias_init(
+                                 self.representation_size))(x))
         return x
 
 
@@ -47,11 +56,18 @@ class FastRCNNPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from detectinblur_tpu.models.resnet import ACT_DTYPE, CONV_PRECISION as prec
+        from detectinblur_tpu.models.resnet import (
+            ACT_DTYPE, CONV_PRECISION as prec,
+            TORCH_LINEAR_KERNEL_INIT as kinit, torch_linear_bias_init)
+        # torch nn.Linear default init (reference FastRCNNPredictor,
+        # models/faster_rcnn.py:280-290, adds no custom init).
+        binit = torch_linear_bias_init(x.shape[-1])
         scores = nn.Dense(self.num_classes, name="cls_score",
-                          dtype=ACT_DTYPE, precision=prec)(x)
+                          dtype=ACT_DTYPE, precision=prec,
+                          kernel_init=kinit, bias_init=binit)(x)
         deltas = nn.Dense(self.num_classes * 4, name="bbox_pred",
-                          dtype=ACT_DTYPE, precision=prec)(x)
+                          dtype=ACT_DTYPE, precision=prec,
+                          kernel_init=kinit, bias_init=binit)(x)
         # f32 for softmax/threshold/NMS and box decode downstream.
         return scores.astype(jnp.float32), deltas.astype(jnp.float32)
 

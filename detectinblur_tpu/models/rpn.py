@@ -33,12 +33,17 @@ class RPNHead(nn.Module):
     @nn.compact
     def __call__(self, features: Sequence[jax.Array]):
         from detectinblur_tpu.models.resnet import ACT_DTYPE, CONV_PRECISION as prec
+        # torchvision RPNHead init: every conv N(0, 0.01), bias 0 — an
+        # untrained head then predicts near-zero deltas (proposals stay at
+        # the anchors) instead of decoding wild slivers.
+        init = nn.initializers.normal(stddev=0.01)
         conv = nn.Conv(self.in_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                       name="conv", dtype=ACT_DTYPE, precision=prec)
+                       name="conv", dtype=ACT_DTYPE, precision=prec,
+                       kernel_init=init)
         cls = nn.Conv(self.num_anchors, (1, 1), name="cls_logits",
-                      dtype=ACT_DTYPE, precision=prec)
+                      dtype=ACT_DTYPE, precision=prec, kernel_init=init)
         bbox = nn.Conv(self.num_anchors * 4, (1, 1), name="bbox_pred",
-                       dtype=ACT_DTYPE, precision=prec)
+                       dtype=ACT_DTYPE, precision=prec, kernel_init=init)
         logits, deltas = [], []
         for f in features:
             t = nn.relu(conv(f))

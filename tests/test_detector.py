@@ -139,3 +139,36 @@ def test_resnext_torso_forward():
     assert params["layer1_0"]["conv2"]["kernel"].shape == (3, 3, 8, 256)
     outs = m.apply({"params": params}, x)
     assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+
+
+def test_torchvision_init_semantics():
+    """From-scratch init matches torchvision (matters for --pretrained off):
+    RPN head convs N(0, 0.01); torch nn.Linear default U(+-1/sqrt(fan_in))
+    for kernel AND bias; resnet convs kaiming_normal(fan_out)."""
+    import numpy as np
+    from detectinblur_tpu.models.faster_rcnn import FasterRCNN
+
+    model = FasterRCNN()
+    params = model.init(jax.random.key(3), bucket=(96, 96))
+
+    for name in ("conv", "cls_logits", "bbox_pred"):
+        w = np.asarray(params["rpn_head"][name]["kernel"])
+        assert abs(w.std() - 0.01) < 0.002, (name, w.std())
+        assert np.all(params["rpn_head"][name]["bias"] == 0)
+
+    fc6 = params["box_head"]["fc6"]
+    bound = 1.0 / np.sqrt(fc6["kernel"].shape[0])
+    for leaf in (fc6["kernel"], fc6["bias"]):
+        a = np.asarray(leaf)
+        assert a.max() <= bound and a.min() >= -bound
+        assert a.std() > 0.4 * bound          # uniform, not zeros
+
+    pred = params["box_predictor"]["cls_score"]
+    bound = 1.0 / np.sqrt(pred["kernel"].shape[0])
+    assert np.abs(np.asarray(pred["bias"])).max() <= bound
+    assert np.asarray(pred["bias"]).std() > 0
+
+    # resnet stem: kaiming_normal(fan_out) => std = sqrt(2 / (49 * 64)).
+    stem = np.asarray(params["backbone"]["body"]["conv1"]["kernel"])
+    expect = np.sqrt(2.0 / (7 * 7 * 64))
+    assert abs(stem.std() - expect) / expect < 0.15
