@@ -21,7 +21,7 @@ from flax import linen as nn
 
 from detectinblur_tpu.models.anchors import grid_anchors
 from detectinblur_tpu.ops.boxes import box_iou, clip_boxes_to_image, decode_boxes, encode_boxes
-from detectinblur_tpu.ops.nms import batched_nms, NEG_INF
+from detectinblur_tpu.ops.nms import grouped_nms_presorted, NEG_INF
 
 
 class RPNHead(nn.Module):
@@ -86,35 +86,47 @@ def filter_proposals(
 ):
     """torchvision RegionProposalNetwork.filter_proposals for one image.
 
+    Levels never suppress each other (torchvision runs batched_nms with the
+    level as the category id), so NMS runs per level — grouped, vmapped,
+    presorted (top_k emits descending scores) — instead of one NMS over the
+    level-offset concatenation: ~4x fewer IoU pairs and 1/5 the sequential
+    block steps at the eval candidate counts (ops/nms.py
+    grouped_nms_presorted; also closer to torchvision, which dispatches to
+    the per-group vanilla path above 4k boxes).
+
     Returns (boxes [post_nms_top_n, 4], valid [post_nms_top_n]).
     """
-    # Per-level top-k by objectness.
-    sel_scores, sel_boxes, sel_levels = [], [], []
+    # Per-level top-k by objectness, padded to a common K per level.
+    kmax = max(min(pre_nms_top_n, n) for n in anchors_per_level)
+    sel_scores, sel_boxes = [], []
     start = 0
-    for lvl, n in enumerate(anchors_per_level):
+    for n in anchors_per_level:
         k = min(pre_nms_top_n, n)
         sc = objectness[start : start + n]
         bx = proposals[start : start + n]
         top_sc, top_idx = jax.lax.top_k(sc, k)
+        if k < kmax:   # padding tail keeps the descending-score precondition
+            top_sc = jnp.concatenate([top_sc, jnp.full((kmax - k,), NEG_INF)])
+            top_idx = jnp.concatenate(
+                [top_idx, jnp.zeros((kmax - k,), top_idx.dtype)])
         sel_scores.append(top_sc)
         sel_boxes.append(bx[top_idx])
-        sel_levels.append(jnp.full((k,), lvl, jnp.int32))
         start += n
 
-    scores = jnp.concatenate(sel_scores)
-    boxes = jnp.concatenate(sel_boxes)
-    levels = jnp.concatenate(sel_levels)
+    scores = jnp.stack(sel_scores)                   # [L, kmax]
+    boxes = jnp.stack(sel_boxes)                     # [L, kmax, 4]
 
     boxes = clip_boxes_to_image(boxes, image_hw[0], image_hw[1])
 
     # Remove small boxes (min_size 1e-3): mask scores instead of filtering.
-    ws = boxes[:, 2] - boxes[:, 0]
-    hs = boxes[:, 3] - boxes[:, 1]
+    ws = boxes[..., 2] - boxes[..., 0]
+    hs = boxes[..., 3] - boxes[..., 1]
     keep = (ws >= min_size) & (hs >= min_size)
     scores = jnp.where(keep, scores, NEG_INF)
 
-    idxs, valid = batched_nms(boxes, scores, levels, nms_thresh, post_nms_top_n)
-    return boxes[idxs], valid
+    idxs, valid = grouped_nms_presorted(boxes, scores, nms_thresh,
+                                        post_nms_top_n)
+    return boxes.reshape(-1, 4)[idxs], valid
 
 
 def assign_targets_to_anchors(

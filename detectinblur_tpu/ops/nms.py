@@ -63,36 +63,20 @@ def nms_sequential(
 _BLOCK = 128
 
 
-@functools.partial(jax.jit, static_argnames=("max_outputs",))
-def nms(
-    boxes: jax.Array,
-    scores: jax.Array,
-    iou_threshold: float | jax.Array,
-    max_outputs: int,
-):
-    """Exact greedy NMS, blocked (the TF-TPU non_max_suppression_padded
-    strategy): boxes are score-sorted and processed in blocks of 128 —
-    within-block suppression runs a fixpoint of the rank-masked suppression
-    operator (converges to the greedy solution), then the block's survivors
-    suppress all later boxes in one vectorized pass. O(N/128) device steps
-    instead of O(max_outputs).
+def _alive_sorted(sboxes: jax.Array, salive: jax.Array, thr) -> jax.Array:
+    """Greedy-NMS aliveness over score-DESCENDING boxes.
 
-    Args:
-      boxes: [N, 4] xyxy.
-      scores: [N]; invalid entries = -inf (padding idiom).
-      iou_threshold: suppress boxes with IoU strictly greater than this.
-      max_outputs: static number of selections.
-
-    Returns:
-      (indices [max_outputs] int32, valid [max_outputs] bool), selections
-      in descending score order (torchvision NMS output ordering).
+    ``sboxes`` [N, 4] must be ordered so that among entries with
+    ``salive`` True, scores are non-increasing (dead entries may sit
+    anywhere — they never suppress and are never revived). Returns the
+    alive mask [N] after exact greedy suppression, blocked (the TF-TPU
+    non_max_suppression_padded strategy): within-block suppression runs a
+    fixpoint of the rank-masked suppression operator (converges to the
+    greedy solution), then the block's survivors suppress all later boxes
+    in one vectorized pass. O(N/128) device steps.
     """
-    N = boxes.shape[0]
-    thr = jnp.asarray(iou_threshold, jnp.float32)
-
-    order = jnp.argsort(-scores.astype(jnp.float32), stable=True)
-    sboxes = boxes[order].astype(jnp.float32)
-    salive = scores[order] > NEG_INF
+    N = sboxes.shape[0]
+    thr = jnp.asarray(thr, jnp.float32)
 
     n_blocks = (N + _BLOCK - 1) // _BLOCK
     pad = n_blocks * _BLOCK - N
@@ -145,13 +129,86 @@ def nms(
         return alive, None
 
     alive, _ = jax.lax.scan(outer, salive, jnp.arange(n_blocks))
+    return alive[:N]
 
-    # Top max_outputs surviving boxes, in score order.
-    sel_key = jnp.where(alive, -rank.astype(jnp.float32), -jnp.inf)
+
+def _rank_epilogue(order: jax.Array, alive_sorted: jax.Array,
+                   max_outputs: int):
+    """Pick the ``max_outputs`` best survivors in descending score order.
+    ``order`` maps sorted rank -> original index; returns (idxs, valid)
+    with idxs = 0 on invalid slots (padding idiom)."""
+    rank = jnp.arange(order.shape[0], dtype=jnp.float32)
+    sel_key = jnp.where(alive_sorted, -rank, -jnp.inf)
     _, picked = jax.lax.top_k(sel_key, max_outputs)
-    valid = alive[picked]
-    idxs = jnp.where(valid, order[jnp.minimum(picked, N - 1)], 0).astype(jnp.int32)
+    valid = alive_sorted[picked]
+    idxs = jnp.where(valid, order[picked], 0).astype(jnp.int32)
     return idxs, valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_outputs",))
+def nms(
+    boxes: jax.Array,
+    scores: jax.Array,
+    iou_threshold: float | jax.Array,
+    max_outputs: int,
+):
+    """Exact greedy NMS, blocked — see ``_alive_sorted``.
+
+    Args:
+      boxes: [N, 4] xyxy.
+      scores: [N]; invalid entries = -inf (padding idiom).
+      iou_threshold: suppress boxes with IoU strictly greater than this.
+      max_outputs: static number of selections.
+
+    Returns:
+      (indices [max_outputs] int32, valid [max_outputs] bool), selections
+      in descending score order (torchvision NMS output ordering).
+    """
+    order = jnp.argsort(-scores.astype(jnp.float32), stable=True)
+    sboxes = boxes[order].astype(jnp.float32)
+    salive = scores[order] > NEG_INF
+    alive = _alive_sorted(sboxes, salive, iou_threshold)
+    return _rank_epilogue(order, alive, max_outputs)
+
+
+@functools.partial(jax.jit, static_argnames=("max_outputs",))
+def grouped_nms_presorted(
+    boxes: jax.Array,      # [G, K, 4] xyxy, per-group score-descending
+    scores: jax.Array,     # [G, K]; invalid/padding entries = -inf
+    iou_threshold: float | jax.Array,
+    max_outputs: int,
+):
+    """Exact category-aware NMS over pre-grouped, pre-sorted candidates.
+
+    Equivalent to ``batched_nms`` with group ids (groups never suppress
+    each other, torchvision batched_nms semantics; torchvision itself
+    dispatches to exactly this per-group formulation above 4k boxes,
+    torchvision/ops/boxes.py _batched_nms_vanilla) but structured for TPU:
+    each group's greedy suppression runs as an independent vmapped blocked
+    pass over only its own K candidates — G x the work of one K-box NMS
+    instead of one (G*K)-box NMS, and no coordinate-offset shift (which
+    costs float precision in the IoUs at large group ids).
+
+    Precondition: within each group, entries with scores > -inf must be
+    score-descending (``lax.top_k`` output order satisfies this); dead
+    entries may sit anywhere. The final selection is the global
+    best-``max_outputs`` survivors by score with ties broken by flattened
+    (group-major) index — identical to running ``batched_nms`` over the
+    flattened arrays.
+
+    Returns (indices into the flattened [G*K] arrays, valid), in
+    descending score order.
+    """
+    G, K = scores.shape
+    alive = jax.vmap(
+        lambda b, s: _alive_sorted(b.astype(jnp.float32), s > NEG_INF,
+                                   iou_threshold)
+    )(boxes, scores)
+
+    flat_scores = scores.reshape(G * K).astype(jnp.float32)
+    order = jnp.argsort(-flat_scores, stable=True)
+    alive_sorted = alive.reshape(G * K)[order]
+    return _rank_epilogue(order, alive_sorted, max_outputs)
 
 
 @functools.partial(jax.jit, static_argnames=("max_outputs",))

@@ -85,3 +85,32 @@ def test_batched_nms_keeps_classes_separate(rng):
     )
     assert np.asarray(valid2).sum() == 1
     assert np.asarray(idxs2)[0] == 0
+
+
+def test_grouped_nms_matches_batched(rng):
+    """grouped_nms_presorted == batched_nms with group ids: same survivors,
+    same output order, on several random grouped candidate sets (incl.
+    NEG_INF padding tails and mid-group masked entries)."""
+    from detectinblur_tpu.ops.nms import grouped_nms_presorted
+
+    for trial in range(4):
+        G, K = 3, 40
+        boxes = np.stack([_rand_boxes(rng, K) for _ in range(G)])
+        scores = rng.random((G, K)).astype(np.float32)
+        # Per-group descending (the precondition); then mask some entries.
+        order = np.argsort(-scores, axis=1, kind="stable")
+        scores = np.take_along_axis(scores, order, axis=1)
+        boxes = np.take_along_axis(boxes, order[..., None], axis=1)
+        scores[:, K - 5 :] = float(NEG_INF)            # padding tails
+        scores[1, 7] = float(NEG_INF)                  # mid-group mask
+        g_idx, g_valid = grouped_nms_presorted(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.5, G * K)
+        flat_b = boxes.reshape(-1, 4)
+        flat_s = scores.reshape(-1)
+        cats = np.repeat(np.arange(G), K)
+        b_idx, b_valid = batched_nms(
+            jnp.asarray(flat_b), jnp.asarray(flat_s), jnp.asarray(cats),
+            0.5, G * K)
+        got = np.asarray(g_idx)[np.asarray(g_valid)]
+        want = np.asarray(b_idx)[np.asarray(b_valid)]
+        assert got.tolist() == want.tolist(), trial
