@@ -121,21 +121,26 @@ def _run():
     # same jitter risk for bench_train). The best window is the one where
     # dispatch pipelining actually covered the relay round-trips — i.e. the
     # device's own steady-state rate.
-    dt = float("inf")
+    window_rates = []
     for r in range(repeats):
         t0 = time.perf_counter()
         for i in range(iters):
             out = blur_detect(params, images, jitters[r * iters + i], hw,
                               psfs, blurring)
         jax.block_until_ready(out)
-        dt = min(dt, time.perf_counter() - t0)
+        window_rates.append(B * iters / (time.perf_counter() - t0))
 
-    img_per_s = B * iters / dt
+    img_per_s = max(window_rates)
+    median = sorted(window_rates)[len(window_rates) // 2]
+    # All per-window rates go in the JSON so the spread behind the
+    # best-window number (relay-stall variance) is visible, not silent.
     print(json.dumps({
         "metric": "blur_detect_images_per_sec_per_chip",
         "value": round(img_per_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_per_s / A100_X2_TARGET, 3),
+        "window_rates": [round(x, 2) for x in window_rates],
+        "median_window": round(median, 2),
     }))
 
 

@@ -137,11 +137,19 @@ def _rank_epilogue(order: jax.Array, alive_sorted: jax.Array,
     """Pick the ``max_outputs`` best survivors in descending score order.
     ``order`` maps sorted rank -> original index; returns (idxs, valid)
     with idxs = 0 on invalid slots (padding idiom)."""
-    rank = jnp.arange(order.shape[0], dtype=jnp.float32)
+    n = order.shape[0]
+    rank = jnp.arange(n, dtype=jnp.float32)
     sel_key = jnp.where(alive_sorted, -rank, -jnp.inf)
-    _, picked = jax.lax.top_k(sel_key, max_outputs)
+    # Configs where total candidates fall below max_outputs (e.g. a
+    # single-map backbone on a small bucket vs post_nms_top_n_train=2000)
+    # must pad, not trace-error: top_k over min(k, n) then pad to k.
+    k = min(max_outputs, n)
+    _, picked = jax.lax.top_k(sel_key, k)
     valid = alive_sorted[picked]
     idxs = jnp.where(valid, order[picked], 0).astype(jnp.int32)
+    if k < max_outputs:
+        idxs = jnp.pad(idxs, (0, max_outputs - k))
+        valid = jnp.pad(valid, (0, max_outputs - k))
     return idxs, valid
 
 

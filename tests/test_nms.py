@@ -60,6 +60,18 @@ def test_nms_padding_masked_out(rng):
     assert list(picked) == oracle
 
 
+def test_nms_max_outputs_exceeds_candidates(rng):
+    # max_outputs > N must pad (not trace-error): e.g. a single-map
+    # backbone on a small bucket vs post_nms_top_n_train=2000.
+    boxes = _rand_boxes(rng, 12)
+    scores = rng.random(12).astype(np.float32)
+    idxs, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 40)
+    assert idxs.shape == (40,) and valid.shape == (40,)
+    oracle = numpy_nms_oracle(boxes, scores, 0.5)
+    assert list(np.asarray(idxs)[np.asarray(valid)]) == oracle
+    assert not np.asarray(valid)[len(oracle):].any()
+
+
 def test_nms_zero_area_boxes_terminate():
     boxes = jnp.zeros((4, 4))
     scores = jnp.array([0.9, 0.8, 0.7, 0.6])
