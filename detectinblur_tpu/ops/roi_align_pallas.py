@@ -329,42 +329,59 @@ def pallas_multiscale_roi_align(
     # the flattened 4B-level pyramid, and place the results back with a
     # one-hot MXU matmul. ~5 us/roi vs ~73 us/roi for the old rps=1
     # fat-window rerun, no VMEM window budget, no orientation split.
-    k = min(OVERSIZED_K if oversized_k is None else oversized_k, N)
+    #
+    # The budget is TIERED: the quad-sample and [N, k] placement costs
+    # scale with the static k, so paying the full OVERSIZED_K program for
+    # a handful of stragglers wastes ~10 ms/call (an untrained RPN's ~10%
+    # oversized eval batches measured 54 ms vs 19 ms for trained-shape
+    # rois). A small-k branch handles the common few-stragglers case and
+    # the full-k branch only runs when the count actually demands it.
+    k_max = min(OVERSIZED_K if oversized_k is None else oversized_k, N)
+    k_small = min(256, k_max)
+    n_over = jnp.sum(oversized)
 
-    def fix_oversized(o):
-        from detectinblur_tpu.ops.roi_align import (
-            _assign_levels, _build_quad, _quad_sample)
+    def make_fix(k):
+        def fix(o):
+            from detectinblur_tpu.ops.roi_align import (
+                _assign_levels, _build_quad, _quad_sample)
 
-        lvl = _assign_levels(flat_boxes, 224, 4)
-        _, idx = jax.lax.top_k(oversized.astype(jnp.float32), k)
-        per_image = [features[li][b] for b in range(B) for li in range(4)]
-        quad, offs, szs = _build_quad(per_image)
-        scales_flat = jnp.asarray([0.25, 0.125, 0.0625, 0.03125] * B,
-                                  jnp.float32)
-        sub_out = _quad_sample(quad, img_idx[idx] * 4 + lvl[idx], offs, szs,
-                               scales_flat, flat_boxes[idx], s, g, out_dtype)
-        # One-hot rows are exact 0/1 in any dtype and HIGHEST keeps f32
-        # accumulation, so each placed row reproduces its sub_out row
-        # bit-for-bit (1.0 * v plus exact zeros).
-        onehot = (idx[None, :] == jnp.arange(N)[:, None])
-        placed = jnp.matmul(onehot.astype(sub_out.dtype),
-                            sub_out.reshape(k, -1),
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
-        placed = placed.reshape(o.shape).astype(out_dtype)
-        fixed = jnp.where(oversized[:, None, None, None], placed, o)
+            lvl = _assign_levels(flat_boxes, 224, 4)
+            _, idx = jax.lax.top_k(oversized.astype(jnp.float32), k)
+            per_image = [features[li][b] for b in range(B) for li in range(4)]
+            quad, offs, szs = _build_quad(per_image)
+            scales_flat = jnp.asarray([0.25, 0.125, 0.0625, 0.03125] * B,
+                                      jnp.float32)
+            sub_out = _quad_sample(quad, img_idx[idx] * 4 + lvl[idx], offs,
+                                   szs, scales_flat, flat_boxes[idx], s, g,
+                                   out_dtype)
+            # One-hot rows are exact 0/1 in any dtype and HIGHEST keeps f32
+            # accumulation, so each placed row reproduces its sub_out row
+            # bit-for-bit (1.0 * v plus exact zeros). Surplus top_k picks
+            # (n_over < k) land on non-oversized rois and are masked off.
+            onehot = (idx[None, :] == jnp.arange(N)[:, None])
+            placed = jnp.matmul(onehot.astype(sub_out.dtype),
+                                sub_out.reshape(k, -1),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+            placed = placed.reshape(o.shape).astype(out_dtype)
+            return jnp.where(oversized[:, None, None, None], placed, o)
+        return fix
+
+    def overflow(_o):
         # Budget overflow (pathological batches): whole-batch exact quad.
-        return jax.lax.cond(
-            jnp.sum(oversized) > k,
-            lambda _: _quad_batch(features, boxes).reshape(N, s, s, C)
-                      .astype(out_dtype),
-            lambda f_: f_,
-            fixed,
-        )
+        return (_quad_batch(features, boxes).reshape(N, s, s, C)
+                .astype(out_dtype))
+
+    def dispatch(o):
+        def big(o2):
+            return jax.lax.cond(n_over > k_max, overflow, make_fix(k_max), o2)
+        if k_small < k_max:
+            return jax.lax.cond(n_over <= k_small, make_fix(k_small), big, o)
+        return big(o)
 
     # The correction — including the quad-buffer build — sits behind one
     # cond: the common all-fit batch pays nothing for it.
-    out = jax.lax.cond(jnp.any(oversized), fix_oversized, lambda o: o, out)
+    out = jax.lax.cond(jnp.any(oversized), dispatch, lambda o: o, out)
     return out.reshape(B, R, s, s, C)
 
 
@@ -812,21 +829,35 @@ def _sharded_roi_align_bwd(feat_shapes, feat_dtype, win_y, win_x,
         grads, oversized = _pallas_roi_align_bwd(
             feat_shapes, bxs, d, win_y, win_x)
         # Oversized rois: exact flat-pyramid take-VJP on a k-bounded
-        # subset. Budget mirrors the forward's OVERSIZED_K; on overflow
-        # the WHOLE backward recomputes via the take-VJP over all rois
-        # (the forward's escape), so gradients are never dropped.
-        k = min(OVERSIZED_K, N)
-        over = _oversized_grads(feat_shapes, B, bxs, d, oversized, k)
-        dfeat = tuple(
-            (g_ + o_).astype(feat_dtype) for g_, o_ in zip(grads, over))
+        # subset. Budgets are TIERED like the forward's (the VJP cost
+        # scales with the static k, and a few stragglers shouldn't pay
+        # the full OVERSIZED_K program); on overflow the WHOLE backward
+        # recomputes via the take-VJP over all rois (the forward's
+        # escape), so gradients are never dropped.
+        k_max = min(OVERSIZED_K, N)
+        k_small = min(256, k_max)
+        n_over = jnp.sum(oversized)
+
+        def over_with(k):
+            def fn(_):
+                over = _oversized_grads(feat_shapes, B, bxs, d, oversized, k)
+                return tuple((g_ + o_).astype(feat_dtype)
+                             for g_, o_ in zip(grads, over))
+            return fn
 
         def full_recompute(_):
             all_rois = jnp.ones((N,), bool)
             full = _oversized_grads(feat_shapes, B, bxs, d, all_rois, N)
             return tuple(f.astype(feat_dtype) for f in full)
 
-        return jax.lax.cond(jnp.sum(oversized) > k,
-                            full_recompute, lambda _: dfeat, 0)
+        def big(_):
+            return jax.lax.cond(n_over > k_max, full_recompute,
+                                over_with(k_max), 0)
+
+        if k_small < k_max:
+            return jax.lax.cond(n_over <= k_small, over_with(k_small),
+                                big, 0)
+        return big(0)
 
     return _cp_batch_call(
         ("roi_align_bwd", feat_shapes, feat_dtype, win_y, win_x,
