@@ -156,6 +156,64 @@ def _quad_sample(quad, levels, level_offsets, level_sizes, level_scales,
     return val.astype(out_dtype)
 
 
+def _flat_sample(features, levels, img_idx, boxes, level_scales,
+                 output_size, sampling_ratio, out_dtype):
+    """Exact RoIAlign for a SMALL roi set without the quad buffer.
+
+    ``_build_quad``'s 4C corner concat moves ~GBs of HBM traffic per call —
+    worth it when thousands of rois amortize it, absurd for a handful of
+    oversized stragglers. This formulation takes the 4 bilinear corners as
+    4 separate single-row gathers from a plain channel-width flat pyramid
+    (one cheap concat of reshape views). Per-row gather cost makes it
+    k-bound (~4*196 rows per roi), so it wins only for small k — the micro
+    correction tier (roi_align_pallas).
+
+    Args: ``features`` 4 levels [B, H_l, W_l, C]; ``levels`` [k] level index
+    per roi; ``img_idx`` [k]; ``boxes`` [k, 4]. Returns [k, s, s, C].
+    """
+    import numpy as np
+
+    B = features[0].shape[0]
+    C = features[0].shape[-1]
+    s, g = output_size, sampling_ratio
+    buf = jnp.concatenate(
+        [f.reshape(-1, C) for f in features]
+        + [jnp.zeros((1, C), features[0].dtype)])
+    level_sizes = jnp.array([[f.shape[1], f.shape[2]] for f in features],
+                            jnp.int32)
+    hw = np.array([f.shape[1] * f.shape[2] for f in features], np.int64)
+    base_np = np.concatenate([[0], np.cumsum(B * hw)])[:4]
+
+    (y_lo, y_hi, wy_lo, wy_hi, y_ok), (x_lo, x_hi, wx_lo, wx_hi, x_ok), \
+        Hl, Wl = _level_geometry(boxes, levels, level_sizes,
+                                 jnp.asarray(level_scales), s, g)
+    base = (jnp.asarray(base_np, jnp.int32)[levels]
+            + img_idx * jnp.asarray(hw, jnp.int32)[levels])        # [k]
+
+    def by(a):   # y-axis [k, s, g] -> [k, s, 1, g, 1]
+        return a[:, :, None, :, None]
+
+    def bx(a):   # x-axis [k, s, g] -> [k, 1, s, 1, g]
+        return a[:, None, :, None, :]
+
+    b5 = base[:, None, None, None, None]
+    W5 = Wl[:, None, None, None, None]
+
+    def take(yy, xx):
+        idx = b5 + by(yy) * W5 + bx(xx)                  # [k, s, s, g, g]
+        return jnp.take(buf, idx.reshape(-1), axis=0)    # [k*s*s*g*g, C]
+
+    ok = (by(y_ok) & bx(x_ok)).astype(jnp.float32)
+    w00 = (by(wy_lo) * bx(wx_lo) * ok).reshape(-1, 1)
+    w01 = (by(wy_lo) * bx(wx_hi) * ok).reshape(-1, 1)
+    w10 = (by(wy_hi) * bx(wx_lo) * ok).reshape(-1, 1)
+    w11 = (by(wy_hi) * bx(wx_hi) * ok).reshape(-1, 1)
+    val = (take(y_lo, x_lo) * w00 + take(y_lo, x_hi) * w01
+           + take(y_hi, x_lo) * w10 + take(y_hi, x_hi) * w11)
+    val = val.reshape(-1, s, s, g * g, C).mean(axis=3)   # [k, s, s, C]
+    return val.astype(out_dtype)
+
+
 def _roi_align_quad(
     features: Sequence[jax.Array],   # L arrays [H_l, W_l, C]
     levels: jax.Array,               # [R] int32 level index per roi

@@ -18,19 +18,28 @@ MultiScaleRoIAlign at reference models/faster_rcnn.py:204-208):
     rows per axis instead of 14 sample rows) — the kernel emits final 7x7
     bins with no strided reductions or sample transposes.
 
+The kernel reads from a FLAT row-stacked pyramid: the four FPN levels are
+concatenated along rows into one padded [B, H_all, SEG_W, C] buffer
+(_build_flat_pyramid), so window DMAs never branch on the level and the
+same buffer serves the oversized correction below for free.
+
 Tiering. The FPN level mapper bounds a roi's *geometric-mean* extent to
 sqrt(area)*scale_l < 28 cells below the top level (<= max_side/32 + spill
 when clamped), so a [48, 56] window covers ~99% of real RPN proposals
 (extreme-aspect slivers land on low levels where their long axis spans
-many cells). Oversized rois take a compacted exact-quad correction: up to
-OVERSIZED_K of them are gathered with top_k, resampled through the exact
-XLA quad path over the flattened 4B-level pyramid (~5 us/roi — gather-row
-bound but k-bounded), and placed back with an [N, k] one-hot MXU matmul
-(TPU scatter serializes; one-hot rows are exact 0/1, so placement is
-bit-exact). The whole correction — including the quad-buffer build — sits
-behind a lax.cond and costs nothing on the common all-fit batch; more
-than OVERSIZED_K oversized rois (pathological untrained-RPN batches)
-escape to a whole-batch exact-quad recompute.
+many cells). Oversized rois take an exact correction in tiers:
+
+  * MICRO (<= 64 stragglers, the common case): UNCONDITIONAL — 4-corner
+    row takes straight out of the flat pyramid, placed back with one
+    concat + N-row take. ~2 ms, no lax.cond (the cond-gated quad
+    correction measured +17 ms for six stragglers on v5e).
+  * Beyond that, compacted exact-quad tiers behind conds: up to
+    k_small/OVERSIZED_K rois gathered with top_k, resampled through the
+    exact XLA quad path over the flattened 4B-level pyramid (~5 us/roi),
+    placed with an [N, k] one-hot MXU matmul (TPU scatter serializes;
+    one-hot rows are exact 0/1, so placement is bit-exact); more than
+    OVERSIZED_K oversized rois (pathological untrained-RPN batches)
+    escape to a whole-batch exact-quad recompute.
 
 All paths are exact (torch aligned=False semantics, identical to
 ops.roi_align.multiscale_roi_align).
@@ -57,22 +66,28 @@ OVERSIZED_K = 2048
 
 
 def _kernel_factory(rps, win_y, win_x, wins, n_steps, out_size, win_dtype):
+    """Forward kernel over the FLAT row-stacked pyramid: the four FPN
+    levels are concatenated along rows into one [B, H_all, SEG_W, C]
+    buffer (each level segment bottom-padded by win_y, right-padded to
+    SEG_W — see _build_flat_pyramid) and each roi's window origin is
+    pre-offset by its level's segment row host-side, so the kernel
+    branches only on the window size class, never the level. The same
+    buffer feeds the micro oversized-correction takes for free."""
 
-    def kernel(img_ref, lvl_ref, y0_ref, x0_ref, cls_ref,       # scalar [N]
-               p2, p3, p4, p5,                                  # ANY levels
+    def kernel(img_ref, y0_ref, x0_ref, cls_ref,                # scalar [N]
+               flat,                                            # ANY pyramid
                ty_ref, tx_ref,                                  # VMEM blocks
                out_ref,                                         # VMEM block
                win, sems):
         step = pl.program_id(0)
         C = out_ref.shape[-1]
-        levels = (p2, p3, p4, p5)
 
-        def dma(slot, si, k, li, cl):
+        def dma(slot, si, k, cl):
             n = si * rps + k
             wy, wx = wins[cl]
             return pltpu.make_async_copy(
-                levels[li].at[img_ref[n], pl.ds(y0_ref[n], wy),
-                              pl.ds(pl.multiple_of(x0_ref[n], 8), wx), :],
+                flat.at[img_ref[n], pl.ds(y0_ref[n], wy),
+                        pl.ds(pl.multiple_of(x0_ref[n], 8), wx), :],
                 win.at[slot, k, :wy, :wx],
                 sems.at[slot, k],
             )
@@ -82,11 +97,10 @@ def _kernel_factory(rps, win_y, win_x, wins, n_steps, out_size, win_dtype):
         # window bytes (the step-0 scrub below guarantees finiteness).
         def each_dma(slot, si, k, fn):
             n = si * rps + k
-            for li in range(4):
-                for cl in (1, 2):
-                    @pl.when((lvl_ref[n] == li) & (cls_ref[n] == cl))
-                    def _():
-                        fn(dma(slot, si, k, li, cl))
+            for cl in (1, 2):
+                @pl.when(cls_ref[n] == cl)
+                def _():
+                    fn(dma(slot, si, k, cl))
 
         def start_dmas(slot, si):
             for k in range(rps):
@@ -198,21 +212,40 @@ def _window_geometry(flat_boxes, sizes, scales, win_y, win_x, s, g,
     return lvl, y0, x0, ty, tx, oversized, (ey, ex)
 
 
-def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
-                 win_dtype, rps, win_y, win_x, s, g, pad_y=None, pad_x=None):
-    """One pallas_call over N rois. Returns (out [N,s,s,C], oversized [N]).
+def _build_flat_pyramid(features, win_y, win_x, win_dtype):
+    """Row-stack the FPN levels into one padded buffer (see
+    _kernel_factory): each level segment is bottom-padded by win_y and
+    right-padded to a common SEG_W >= max(W_l) + win_x, so any clamped
+    window origin yields an in-bounds strided DMA without per-level
+    branching. Returns (flat [B, H_all, SEG_W, C], row offsets [4])."""
+    seg_w = max(f.shape[2] for f in features) + win_x
+    seg_w = -(-seg_w // 8) * 8
+    segs, offs, acc = [], [], 0
+    for f in features:
+        offs.append(acc)
+        segs.append(jnp.pad(
+            f.astype(win_dtype),
+            ((0, 0), (0, win_y), (0, seg_w - f.shape[2]), (0, 0))))
+        acc += f.shape[1] + win_y
+    return jnp.concatenate(segs, axis=1), np.asarray(offs, np.int32)
 
-    ``pad_y``/``pad_x``: how much bottom/right zero padding the level
-    buffers actually carry (defaults to the window size). When the window
-    is wider than the padding, origins are clamped leftward/upward so the
-    DMA stays in bounds — the selection matrices reference the clamped
-    origin, so results stay exact, and the window still reaches the level
-    edge."""
+
+def _kernel_pass(features, flat_boxes, img_idx, sizes, scales, out_dtype,
+                 win_dtype, rps, win_y, win_x, s, g):
+    """One pallas_call over N rois. Returns
+    (out [N,s,s,C], oversized [N], flat pyramid, segment row offsets).
+
+    Window origins are clamped so every DMA stays inside the padded flat
+    pyramid — the selection matrices reference the clamped origin, so
+    results stay exact, and the window still reaches the level edge."""
     N = flat_boxes.shape[0]
-    C = pads[0].shape[-1]
+    C = features[0].shape[-1]
 
     lvl, y0, x0, ty, tx, oversized, (ey, ex) = _window_geometry(
-        flat_boxes, sizes, scales, win_y, win_x, s, g, pad_y, pad_x)
+        flat_boxes, sizes, scales, win_y, win_x, s, g)
+
+    flat, seg_off = _build_flat_pyramid(features, win_y, win_x, win_dtype)
+    y0f = y0 + jnp.asarray(seg_off)[lvl]
 
     # Size classes (see _kernel_factory): most trained-RPN rois fit a
     # [win-16, win-16] sub-window (the level mapper keeps sample extents
@@ -224,21 +257,21 @@ def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
 
     n_steps = pl.cdiv(N, rps)
     pad_n = n_steps * rps - N
-    img_p, lvl_p, y0_p, x0_p, cls_p, ty_p, tx_p = (
-        img_idx, lvl, y0, x0, cls, ty, tx)
+    img_p, y0_p, x0_p, cls_p, ty_p, tx_p = (
+        img_idx, y0f, x0, cls, ty, tx)
     if pad_n:
         def padn(a):
             # Padding slots get class 0: no window DMA at all (their
             # selection rows are zero and their outputs are sliced off).
             return jnp.concatenate([a, jnp.zeros((pad_n, *a.shape[1:]),
                                                  a.dtype)])
-        img_p, lvl_p, y0_p, x0_p, cls_p, ty_p, tx_p = map(
-            padn, (img_p, lvl_p, y0_p, x0_p, cls_p, ty_p, tx_p))
+        img_p, y0_p, x0_p, cls_p, ty_p, tx_p = map(
+            padn, (img_p, y0_p, x0_p, cls_p, ty_p, tx_p))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(n_steps,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [
             pl.BlockSpec((rps, s, win_y),
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rps, s, win_x),
@@ -263,8 +296,8 @@ def _kernel_pass(pads, flat_boxes, img_idx, sizes, scales, out_dtype,
             bytes_accessed=n_steps * rps * win_y * win_x * C * 2,
             transcendentals=0,
         ),
-    )(img_p, lvl_p, y0_p, x0_p, cls_p, *pads, ty_p, tx_p)
-    return out[:N], oversized
+    )(img_p, y0_p, x0_p, cls_p, flat, ty_p, tx_p)
+    return out[:N], oversized, flat, seg_off
 
 
 def _quad_batch(features, boxes):
@@ -303,15 +336,6 @@ def pallas_multiscale_roi_align(
                  else features[0].dtype)
     out_dtype = features[0].dtype
 
-    # Padded level copies so any clamped window origin yields an in-bounds
-    # strided DMA. Levels already larger than the window need NO padding
-    # at all (origin clamping keeps the DMA in bounds) — skipping the pad
-    # copy of P2/P3 saves ~3 ms on the detector batch.
-    pad_ys = [0 if f.shape[1] >= win_y else win_y for f in features]
-    pad_xs = [0 if f.shape[2] >= win_x else win_x for f in features]
-    pads = [f.astype(win_dtype) if not (py or px) else
-            jnp.pad(f, ((0, 0), (0, py), (0, px), (0, 0))).astype(win_dtype)
-            for f, py, px in zip(features, pad_ys, pad_xs)]
     sizes = np.array([[f.shape[1], f.shape[2]] for f in features], np.int32)
     scales = np.array([0.25, 0.125, 0.0625, 0.03125], np.float32)
 
@@ -319,52 +343,111 @@ def pallas_multiscale_roi_align(
     img_idx = (jnp.arange(N, dtype=jnp.int32) // R)
 
     # ----------------------------------------------- tier 1: window kernel
-    out, oversized = _kernel_pass(
-        pads, flat_boxes, img_idx, sizes, scales, out_dtype, win_dtype,
-        rois_per_step, win_y, win_x, s, g, pad_y=pad_ys, pad_x=pad_xs)
+    out, oversized, flat, seg_off = _kernel_pass(
+        features, flat_boxes, img_idx, sizes, scales, out_dtype, win_dtype,
+        rois_per_step, win_y, win_x, s, g)
 
     # ----------------------------------------------------- oversized rois
-    # Compacted exact-quad correction (see module docstring): gather up to
-    # k oversized rois, resample them through the exact XLA quad path over
-    # the flattened 4B-level pyramid, and place the results back with a
-    # one-hot MXU matmul. ~5 us/roi vs ~73 us/roi for the old rps=1
-    # fat-window rerun, no VMEM window budget, no orientation split.
+    # Exact correction for rois whose sample extent overflows the tier-1
+    # window. Two regimes:
     #
-    # The budget is TIERED: the quad-sample and [N, k] placement costs
-    # scale with the static k, so paying the full OVERSIZED_K program for
-    # a handful of stragglers wastes ~10 ms/call (an untrained RPN's ~10%
-    # oversized eval batches measured 54 ms vs 19 ms for trained-shape
-    # rois). A small-k branch handles the common few-stragglers case and
-    # the full-k branch only runs when the count actually demands it.
+    #   * MICRO (<= k_micro stragglers, the overwhelmingly common case for
+    #     trained AND anchor-shaped proposals): runs UNCONDITIONALLY —
+    #     4-corner row takes straight out of the kernel's flat pyramid
+    #     (already built, no extra buffer), placed back with a
+    #     concat + row-take (no [N, s*s*C] one-hot matmul intermediate).
+    #     Keeping this outside lax.cond and quad-free matters: the
+    #     cond-gated quad correction measured +17 ms for SIX stragglers
+    #     (4C quad concat + f32 one-hot placement + conversion copies);
+    #     this path is ~2 ms and pays it predictably.
+    #   * BIG (> k_micro): the compacted exact-quad tiers behind conds —
+    #     k_small/k_max gathers + one-hot placement (~5 us/roi), then the
+    #     whole-batch exact-quad escape beyond OVERSIZED_K. Rare
+    #     (untrained-RPN shapes), so the cond boundary cost is acceptable.
     k_max = min(OVERSIZED_K if oversized_k is None else oversized_k, N)
     k_small = min(256, k_max)
+    k_micro = min(64, k_small)
     n_over = jnp.sum(oversized)
+
+    from detectinblur_tpu.ops.roi_align import (
+        _assign_levels, _build_quad, _level_geometry, _quad_sample)
+
+    lvl = _assign_levels(flat_boxes, 224, 4)
+    over_f32 = oversized.astype(jnp.float32)
+
+    def place(idx, sub_out, o):
+        # One-hot rows are exact 0/1 in any dtype and each output row has
+        # a single nonzero product, so placement is bit-exact in any
+        # precision. Surplus top_k picks (n_over < k) land on
+        # non-oversized rois and are masked off by the where.
+        k = sub_out.shape[0]
+        onehot = (idx[None, :] == jnp.arange(N)[:, None])
+        placed = jnp.matmul(onehot.astype(sub_out.dtype),
+                            sub_out.reshape(k, -1),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        placed = placed.reshape(o.shape).astype(out_dtype)
+        return jnp.where(oversized[:, None, None, None], placed, o)
+
+    # ---- micro correction, unconditional, sampled from the flat pyramid.
+    _, idx_m = jax.lax.top_k(over_f32, k_micro)
+    sub_boxes = flat_boxes[idx_m]
+    sub_lvl = lvl[idx_m]
+    (y_lo, y_hi, wy_lo, wy_hi, y_ok), (x_lo, x_hi, wx_lo, wx_hi, x_ok), \
+        _, _ = _level_geometry(sub_boxes, sub_lvl, jnp.asarray(sizes),
+                               jnp.asarray(scales), s, g)
+    H_all, SEG_W = flat.shape[1], flat.shape[2]
+    flat2d = flat.reshape(-1, C)
+    row0 = ((img_idx[idx_m] * H_all + jnp.asarray(seg_off)[sub_lvl])
+            * SEG_W)                                             # [k]
+
+    def by(a):
+        return a[:, :, None, :, None]
+
+    def bx(a):
+        return a[:, None, :, None, :]
+
+    b5 = row0[:, None, None, None, None]
+
+    def corner(yy, xx):
+        idx5 = b5 + by(yy) * SEG_W + bx(xx)
+        return jnp.take(flat2d, idx5.reshape(-1), axis=0)
+
+    ok = (by(y_ok) & bx(x_ok)).astype(jnp.float32)
+    w00 = (by(wy_lo) * bx(wx_lo) * ok).reshape(-1, 1)
+    w01 = (by(wy_lo) * bx(wx_hi) * ok).reshape(-1, 1)
+    w10 = (by(wy_hi) * bx(wx_lo) * ok).reshape(-1, 1)
+    w11 = (by(wy_hi) * bx(wx_hi) * ok).reshape(-1, 1)
+    val = (corner(y_lo, x_lo) * w00 + corner(y_lo, x_hi) * w01
+           + corner(y_hi, x_lo) * w10 + corner(y_hi, x_hi) * w11)
+    sub_m = (val.reshape(k_micro, s, s, g * g, C).mean(axis=3)
+             .astype(out_dtype))                                 # [k,s,s,C]
+
+    # Placement without the [N, s*s*C] matmul: rows come either from the
+    # kernel output or (for the first k_micro oversized rois, which
+    # top_k(0/1) lists in ascending index order) from sub_m — one concat
+    # and one N-row take. Rois beyond the micro budget keep their kernel
+    # rows here and are re-placed by the BIG tiers below.
+    rank = jnp.cumsum(oversized) - 1                             # [N]
+    row_src = jnp.where(oversized & (rank < k_micro),
+                        N + jnp.clip(rank, 0, k_micro - 1),
+                        jnp.arange(N))
+    combined = jnp.concatenate(
+        [out.reshape(N, s * s * C), sub_m.reshape(k_micro, s * s * C)])
+    out = jnp.take(combined, row_src, axis=0).reshape(N, s, s, C)
 
     def make_fix(k):
         def fix(o):
-            from detectinblur_tpu.ops.roi_align import (
-                _assign_levels, _build_quad, _quad_sample)
-
-            lvl = _assign_levels(flat_boxes, 224, 4)
-            _, idx = jax.lax.top_k(oversized.astype(jnp.float32), k)
-            per_image = [features[li][b] for b in range(B) for li in range(4)]
+            _, idx = jax.lax.top_k(over_f32, k)
+            per_image = [features[li][b]
+                         for b in range(B) for li in range(4)]
             quad, offs, szs = _build_quad(per_image)
-            scales_flat = jnp.asarray([0.25, 0.125, 0.0625, 0.03125] * B,
-                                      jnp.float32)
-            sub_out = _quad_sample(quad, img_idx[idx] * 4 + lvl[idx], offs,
-                                   szs, scales_flat, flat_boxes[idx], s, g,
-                                   out_dtype)
-            # One-hot rows are exact 0/1 in any dtype and HIGHEST keeps f32
-            # accumulation, so each placed row reproduces its sub_out row
-            # bit-for-bit (1.0 * v plus exact zeros). Surplus top_k picks
-            # (n_over < k) land on non-oversized rois and are masked off.
-            onehot = (idx[None, :] == jnp.arange(N)[:, None])
-            placed = jnp.matmul(onehot.astype(sub_out.dtype),
-                                sub_out.reshape(k, -1),
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)
-            placed = placed.reshape(o.shape).astype(out_dtype)
-            return jnp.where(oversized[:, None, None, None], placed, o)
+            scales_flat = jnp.asarray(
+                [0.25, 0.125, 0.0625, 0.03125] * B, jnp.float32)
+            sub_out = _quad_sample(quad, img_idx[idx] * 4 + lvl[idx],
+                                   offs, szs, scales_flat,
+                                   flat_boxes[idx], s, g, out_dtype)
+            return place(idx, sub_out, o)
         return fix
 
     def overflow(_o):
@@ -379,9 +462,10 @@ def pallas_multiscale_roi_align(
             return jax.lax.cond(n_over <= k_small, make_fix(k_small), big, o)
         return big(o)
 
-    # The correction — including the quad-buffer build — sits behind one
-    # cond: the common all-fit batch pays nothing for it.
-    out = jax.lax.cond(jnp.any(oversized), dispatch, lambda o: o, out)
+    # n_over <= k_micro is fully handled by the unconditional micro pass;
+    # anything beyond it (incl. the > k_max whole-batch escape) goes
+    # through the cond chain.
+    out = jax.lax.cond(n_over > k_micro, dispatch, lambda o: o, out)
     return out.reshape(B, R, s, s, C)
 
 
@@ -592,14 +676,16 @@ def _pallas_roi_align_bwd(feat_shapes, boxes, dout, win_y, win_x, chains=4):
     return grads, oversized
 
 
-def _oversized_grads(feat_shapes, B, boxes, dout, oversized, k):
+def _oversized_grads(feat_shapes, B, boxes, dout, oversized, k, micro=False):
     """Exact gradients for a k-bounded compaction of oversized rois via the
     take-based quad formulation over a 4B-level flat pyramid. The take's
     VJP is ONE scatter-add of k*196 rows; routing this through the
     dynamic-slice-pair formulation instead transposes into a serial
     batched dynamic-update-slice while loop (~270 ms for k=256 — measured).
-    The whole computation sits behind a lax.cond: zero cost on the common
-    all-tier-1 batch."""
+    ``micro=True`` differentiates the quad-free ``_flat_sample`` instead
+    (4 takes, no corner-concat build) — the cheap path for a handful of
+    stragglers, mirroring the forward's micro tier. The whole computation
+    sits behind a lax.cond: zero cost on the common all-tier-1 batch."""
     R = boxes.shape[1]
     N = B * R
     C = dout.shape[-1]
@@ -616,7 +702,28 @@ def _oversized_grads(feat_shapes, B, boxes, dout, oversized, k):
     sub_dout = (dout.reshape(N, 7, 7, C)[idx].astype(jnp.float32)
                 * sel[:, None, None, None])
 
-    from detectinblur_tpu.ops.roi_align import _build_quad, _quad_sample
+    from detectinblur_tpu.ops.roi_align import (
+        _build_quad, _flat_sample, _quad_sample)
+
+    def skip(_):
+        return tuple(jnp.zeros((B, h, w, C), jnp.float32)
+                     for (h, w) in feat_shapes)
+
+    if micro:
+        def fm(feats0):
+            return _flat_sample(
+                feats0, lvl[idx], img_idx[idx], sub_boxes,
+                np.array([0.25, 0.125, 0.0625, 0.03125], np.float32),
+                7, 2, jnp.float32)
+
+        zeros_b = tuple(jnp.zeros((B, h, w, C), jnp.float32)
+                        for (h, w) in feat_shapes)
+
+        def compute_micro(_):
+            _, vjp = jax.vjp(fm, zeros_b)
+            return tuple(vjp(sub_dout)[0])
+
+        return jax.lax.cond(jnp.any(oversized), compute_micro, skip, 0)
 
     def f(levels32):
         quad, offs, szs = _build_quad(levels32)
@@ -632,10 +739,6 @@ def _oversized_grads(feat_shapes, B, boxes, dout, oversized, k):
         return tuple(
             jnp.stack([d32[b * 4 + li] for b in range(B)])
             for li in range(4))
-
-    def skip(_):
-        return tuple(jnp.zeros((B, h, w, C), jnp.float32)
-                     for (h, w) in feat_shapes)
 
     return jax.lax.cond(jnp.any(oversized), compute, skip, 0)
 
@@ -836,11 +939,13 @@ def _sharded_roi_align_bwd(feat_shapes, feat_dtype, win_y, win_x,
         # escape), so gradients are never dropped.
         k_max = min(OVERSIZED_K, N)
         k_small = min(256, k_max)
+        k_micro = min(64, k_small)
         n_over = jnp.sum(oversized)
 
-        def over_with(k):
+        def over_with(k, micro=False):
             def fn(_):
-                over = _oversized_grads(feat_shapes, B, bxs, d, oversized, k)
+                over = _oversized_grads(feat_shapes, B, bxs, d, oversized,
+                                        k, micro=micro)
                 return tuple((g_ + o_).astype(feat_dtype)
                              for g_, o_ in zip(grads, over))
             return fn
@@ -854,10 +959,16 @@ def _sharded_roi_align_bwd(feat_shapes, feat_dtype, win_y, win_x,
             return jax.lax.cond(n_over > k_max, full_recompute,
                                 over_with(k_max), 0)
 
-        if k_small < k_max:
-            return jax.lax.cond(n_over <= k_small, over_with(k_small),
-                                big, 0)
-        return big(0)
+        def mid(_):
+            if k_small < k_max:
+                return jax.lax.cond(n_over <= k_small, over_with(k_small),
+                                    big, 0)
+            return big(0)
+
+        if k_micro < k_small:
+            return jax.lax.cond(n_over <= k_micro,
+                                over_with(k_micro, micro=True), mid, 0)
+        return mid(0)
 
     return _cp_batch_call(
         ("roi_align_bwd", feat_shapes, feat_dtype, win_y, win_x,

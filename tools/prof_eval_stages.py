@@ -78,7 +78,7 @@ def s_feats(j, p, **_):
 
 
 def s_rpn(j, p, feats=None, **_):
-    f = [x + j for x in feats]
+    f = [(x + j).astype(x.dtype) for x in feats]
     r = run_rpn(p["rpn_head"], model.rpn_head, f, new_hw,
                 training=False, cfg=cfg.rpn)
     return (jnp.sum(r.proposals) + jnp.sum(r.proposal_valid) +
@@ -86,7 +86,7 @@ def s_rpn(j, p, feats=None, **_):
 
 
 def s_rpn_head(j, p, feats=None, **_):
-    f = [x + j for x in feats]
+    f = [(x + j).astype(x.dtype) for x in feats]
     logits, deltas = model.rpn_head.apply({"params": p["rpn_head"]}, f)
     return (sum(jnp.sum(x) for x in logits) +
             sum(jnp.sum(x) for x in deltas))
@@ -95,7 +95,7 @@ def s_rpn_head(j, p, feats=None, **_):
 def s_roi(j, p, feats=None, proposals=None, **_):
     from detectinblur_tpu.ops.roi_align_pallas import sharded_multiscale_roi_align
     pooled = sharded_multiscale_roi_align(
-        [x + j for x in feats[:4]], proposals,
+        [(x + j).astype(x.dtype) for x in feats[:4]], proposals,
         rois_per_step=rps, win_y=wy, win_x=wy + 8)
     return jnp.sum(pooled.astype(jnp.float32))
 
