@@ -87,6 +87,28 @@ def test_pallas_budget_escape_hatch(rng):
     np.testing.assert_allclose(ours, _expected(feats, boxes), atol=2e-5)
 
 
+def test_pallas_quad_tier_beyond_micro(rng):
+    """More oversized rois than the unconditional micro budget (64) but
+    within the quad budget -> the cond-gated quad tier must re-place
+    EVERY oversized roi exactly (the micro pass only fixed the first 64)."""
+    B, R = 1, 128
+    feats = _feats(rng, B)
+    boxes = np.zeros((B, R, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, 180, (B, R))
+    boxes[..., 1] = rng.uniform(0, 140, (B, R))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(8, 60, (B, R))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(8, 60, (B, R))
+    # 80 wide slivers overflow the window -> n_over=80 > k_micro=64.
+    for i in range(80):
+        boxes[0, i] = [0.0, 100.0 + i, 318.0, 104.0 + i]
+    boxes = jnp.asarray(boxes)
+
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(pallas_multiscale_roi_align(feats, boxes))
+
+    np.testing.assert_allclose(ours, _expected(feats, boxes), atol=2e-5)
+
+
 def test_fused_vjp_matches_quad_grads(rng, monkeypatch):
     """multiscale_roi_align_fused: the window-RMW backward kernel (plus the
     oversized take-VJP fallback) must match autodiff through the XLA quad
