@@ -156,6 +156,47 @@ def _quad_sample(quad, levels, level_offsets, level_sizes, level_scales,
     return val.astype(out_dtype)
 
 
+def _corner_sample(buf2d, row0, row_stride, ypar, xpar, s, g, out_dtype):
+    """Shared 4-corner bilinear sampling from a row-flattened buffer.
+
+    ``buf2d`` [rows, C]; roi r's cell (y, x) lives at row
+    ``row0[r] + y * row_stride`` (row_stride scalar or [k]) column-offset
+    by x. ``ypar``/``xpar`` are the `_bilinear_params` tuples laid out
+    [k, s, g]. One source of truth for the quad-free exact samplers: the
+    micro oversized-correction tier takes from the Pallas flat pyramid
+    (row_stride = SEG_W), `_flat_sample` from a tight per-level concat
+    (row_stride = W_l per roi). Returns [k, s, s, C].
+    """
+    (y_lo, y_hi, wy_lo, wy_hi, y_ok) = ypar
+    (x_lo, x_hi, wx_lo, wx_hi, x_ok) = xpar
+    C = buf2d.shape[-1]
+
+    def by(a):   # y-axis [k, s, g] -> [k, s, 1, g, 1]
+        return a[:, :, None, :, None]
+
+    def bx(a):   # x-axis [k, s, g] -> [k, 1, s, 1, g]
+        return a[:, None, :, None, :]
+
+    b5 = row0[:, None, None, None, None]
+    stride5 = jnp.asarray(row_stride)
+    if stride5.ndim == 1:
+        stride5 = stride5[:, None, None, None, None]
+
+    def take(yy, xx):
+        idx = b5 + by(yy) * stride5 + bx(xx)             # [k, s, s, g, g]
+        return jnp.take(buf2d, idx.reshape(-1), axis=0)  # [k*s*s*g*g, C]
+
+    ok = (by(y_ok) & bx(x_ok)).astype(jnp.float32)
+    w00 = (by(wy_lo) * bx(wx_lo) * ok).reshape(-1, 1)
+    w01 = (by(wy_lo) * bx(wx_hi) * ok).reshape(-1, 1)
+    w10 = (by(wy_hi) * bx(wx_lo) * ok).reshape(-1, 1)
+    w11 = (by(wy_hi) * bx(wx_hi) * ok).reshape(-1, 1)
+    val = (take(y_lo, x_lo) * w00 + take(y_lo, x_hi) * w01
+           + take(y_hi, x_lo) * w10 + take(y_hi, x_hi) * w11)
+    val = val.reshape(-1, s, s, g * g, C).mean(axis=3)   # [k, s, s, C]
+    return val.astype(out_dtype)
+
+
 def _flat_sample(features, levels, img_idx, boxes, level_scales,
                  output_size, sampling_ratio, out_dtype):
     """Exact RoIAlign for a SMALL roi set without the quad buffer.
@@ -184,34 +225,11 @@ def _flat_sample(features, levels, img_idx, boxes, level_scales,
     hw = np.array([f.shape[1] * f.shape[2] for f in features], np.int64)
     base_np = np.concatenate([[0], np.cumsum(B * hw)])[:4]
 
-    (y_lo, y_hi, wy_lo, wy_hi, y_ok), (x_lo, x_hi, wx_lo, wx_hi, x_ok), \
-        Hl, Wl = _level_geometry(boxes, levels, level_sizes,
-                                 jnp.asarray(level_scales), s, g)
+    ypar, xpar, Hl, Wl = _level_geometry(boxes, levels, level_sizes,
+                                         jnp.asarray(level_scales), s, g)
     base = (jnp.asarray(base_np, jnp.int32)[levels]
             + img_idx * jnp.asarray(hw, jnp.int32)[levels])        # [k]
-
-    def by(a):   # y-axis [k, s, g] -> [k, s, 1, g, 1]
-        return a[:, :, None, :, None]
-
-    def bx(a):   # x-axis [k, s, g] -> [k, 1, s, 1, g]
-        return a[:, None, :, None, :]
-
-    b5 = base[:, None, None, None, None]
-    W5 = Wl[:, None, None, None, None]
-
-    def take(yy, xx):
-        idx = b5 + by(yy) * W5 + bx(xx)                  # [k, s, s, g, g]
-        return jnp.take(buf, idx.reshape(-1), axis=0)    # [k*s*s*g*g, C]
-
-    ok = (by(y_ok) & bx(x_ok)).astype(jnp.float32)
-    w00 = (by(wy_lo) * bx(wx_lo) * ok).reshape(-1, 1)
-    w01 = (by(wy_lo) * bx(wx_hi) * ok).reshape(-1, 1)
-    w10 = (by(wy_hi) * bx(wx_lo) * ok).reshape(-1, 1)
-    w11 = (by(wy_hi) * bx(wx_hi) * ok).reshape(-1, 1)
-    val = (take(y_lo, x_lo) * w00 + take(y_lo, x_hi) * w01
-           + take(y_hi, x_lo) * w10 + take(y_hi, x_hi) * w11)
-    val = val.reshape(-1, s, s, g * g, C).mean(axis=3)   # [k, s, s, C]
-    return val.astype(out_dtype)
+    return _corner_sample(buf, base, Wl, ypar, xpar, s, g, out_dtype)
 
 
 def _roi_align_quad(

@@ -179,23 +179,20 @@ def _geometry(flat_boxes, sizes, scales, s, g):
     return lvl, Hl, Wl, flat(ypar), flat(xpar)
 
 
-def _window_geometry(flat_boxes, sizes, scales, win_y, win_x, s, g,
-                     pad_y=None, pad_x=None):
+def _window_geometry(flat_boxes, sizes, scales, win_y, win_x, s, g):
     """Tier-window geometry shared by the forward and backward kernels:
     per-roi (level, clamped window origin, folded selection matrices,
-    oversized flag, (ey, ex) sample extents from the clamped origin)."""
-    L = len(sizes)
-    pad_y = np.full(L, win_y) if pad_y is None else np.asarray(pad_y)
-    pad_x = np.full(L, win_x) if pad_x is None else np.asarray(pad_x)
+    oversized flag, (ey, ex) sample extents from the clamped origin).
 
+    Origins are clamped assuming each level carries a full win_y/win_x of
+    bottom/right padding — true for both consumers (the forward's flat
+    pyramid segments and the backward's padded accumulators)."""
     lvl, Hl, Wl, ypar, xpar = _geometry(flat_boxes, sizes, scales, s, g)
     y_lo, _, wy_lo, wy_hi, y_ok = ypar
     x_lo, _, wx_lo, wx_hi, x_ok = xpar
 
-    pad_y_l = jnp.asarray(pad_y, jnp.int32)[lvl]
-    pad_x_l = jnp.asarray(pad_x, jnp.int32)[lvl]
-    max_y0 = jnp.maximum(Hl + (pad_y_l - win_y), 0)
-    max_x0 = (jnp.maximum(Wl + (pad_x_l - win_x), 0) // 8) * 8
+    max_y0 = Hl
+    max_x0 = (Wl // 8) * 8
     y0 = jnp.clip(jnp.min(y_lo, axis=1), 0, max_y0)
     x0 = jnp.clip(jnp.min(x_lo, axis=1), 0, max_x0)
     x0 = (x0 // 8) * 8                      # sublane-aligned DMA origin
@@ -370,7 +367,8 @@ def pallas_multiscale_roi_align(
     n_over = jnp.sum(oversized)
 
     from detectinblur_tpu.ops.roi_align import (
-        _assign_levels, _build_quad, _level_geometry, _quad_sample)
+        _assign_levels, _build_quad, _corner_sample, _level_geometry,
+        _quad_sample)
 
     lvl = _assign_levels(flat_boxes, 224, 4)
     over_f32 = oversized.astype(jnp.float32)
@@ -393,35 +391,14 @@ def pallas_multiscale_roi_align(
     _, idx_m = jax.lax.top_k(over_f32, k_micro)
     sub_boxes = flat_boxes[idx_m]
     sub_lvl = lvl[idx_m]
-    (y_lo, y_hi, wy_lo, wy_hi, y_ok), (x_lo, x_hi, wx_lo, wx_hi, x_ok), \
-        _, _ = _level_geometry(sub_boxes, sub_lvl, jnp.asarray(sizes),
-                               jnp.asarray(scales), s, g)
+    ypar, xpar, _, _ = _level_geometry(sub_boxes, sub_lvl,
+                                       jnp.asarray(sizes),
+                                       jnp.asarray(scales), s, g)
     H_all, SEG_W = flat.shape[1], flat.shape[2]
-    flat2d = flat.reshape(-1, C)
     row0 = ((img_idx[idx_m] * H_all + jnp.asarray(seg_off)[sub_lvl])
             * SEG_W)                                             # [k]
-
-    def by(a):
-        return a[:, :, None, :, None]
-
-    def bx(a):
-        return a[:, None, :, None, :]
-
-    b5 = row0[:, None, None, None, None]
-
-    def corner(yy, xx):
-        idx5 = b5 + by(yy) * SEG_W + bx(xx)
-        return jnp.take(flat2d, idx5.reshape(-1), axis=0)
-
-    ok = (by(y_ok) & bx(x_ok)).astype(jnp.float32)
-    w00 = (by(wy_lo) * bx(wx_lo) * ok).reshape(-1, 1)
-    w01 = (by(wy_lo) * bx(wx_hi) * ok).reshape(-1, 1)
-    w10 = (by(wy_hi) * bx(wx_lo) * ok).reshape(-1, 1)
-    w11 = (by(wy_hi) * bx(wx_hi) * ok).reshape(-1, 1)
-    val = (corner(y_lo, x_lo) * w00 + corner(y_lo, x_hi) * w01
-           + corner(y_hi, x_lo) * w10 + corner(y_hi, x_hi) * w11)
-    sub_m = (val.reshape(k_micro, s, s, g * g, C).mean(axis=3)
-             .astype(out_dtype))                                 # [k,s,s,C]
+    sub_m = _corner_sample(flat.reshape(-1, C), row0, SEG_W, ypar, xpar,
+                           s, g, out_dtype)                      # [k,s,s,C]
 
     # Placement without the [N, s*s*C] matmul: rows come either from the
     # kernel output or (for the first k_micro oversized rois, which

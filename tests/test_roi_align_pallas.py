@@ -161,3 +161,46 @@ def test_fused_vjp_matches_quad_grads(rng, monkeypatch):
     for g, e in zip(got, expected):
         np.testing.assert_allclose(np.asarray(g), np.asarray(e),
                                    atol=3e-5, rtol=1e-4)
+
+
+def test_fused_vjp_micro_tier(rng, monkeypatch):
+    """Backward micro tier: with N > 64 rois the k_micro=64 branch exists
+    (k_micro < k_small) and a few oversized stragglers route their
+    gradients through the _flat_sample VJP — the hot path of real training
+    steps (N = 4096, a handful of oversized). The small-N fused test above
+    statically elides this branch (k_micro == k_small at N = 12)."""
+    import detectinblur_tpu.ops.roi_align_pallas as rap
+    from detectinblur_tpu.ops.roi_align_pallas import multiscale_roi_align_fused
+
+    monkeypatch.setattr(rap, "kernel_backend", lambda: True)
+    monkeypatch.setattr(rap, "_CP_CACHE", {})
+
+    B, R = 1, 80
+    feats = _feats(rng, B)
+    boxes = np.zeros((B, R, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, 180, (B, R))
+    boxes[..., 1] = rng.uniform(0, 140, (B, R))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(8, 40, (B, R))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(8, 40, (B, R))
+    for i in range(5):   # oversized wide slivers -> micro VJP
+        boxes[0, i] = [0.0, 60.0 + 8 * i, 318.0, 66.0 + 8 * i]
+    boxes = jnp.asarray(boxes)
+    w = jnp.asarray(rng.random((B, R, 7, 7, 8), dtype=np.float32))
+
+    def quad_loss(fs):
+        out = jnp.stack([
+            multiscale_roi_align(tuple(f[b] for f in fs), boxes[b])
+            for b in range(B)])
+        return jnp.sum(out * w)
+
+    def fused_loss(fs):
+        out = multiscale_roi_align_fused(tuple(fs), boxes, 7, 2, 2, 16, 24)
+        return jnp.sum(out * w)
+
+    expected = jax.grad(quad_loss)(feats)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(fused_loss)(feats)
+
+    for g, e in zip(got, expected):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e),
+                                   atol=3e-5, rtol=1e-4)
