@@ -696,11 +696,13 @@ def _oversized_grads(feat_shapes, B, boxes, dout, oversized, k, micro=False):
         zeros_b = tuple(jnp.zeros((B, h, w, C), jnp.float32)
                         for (h, w) in feat_shapes)
 
-        def compute_micro(_):
-            _, vjp = jax.vjp(fm, zeros_b)
-            return tuple(vjp(sub_dout)[0])
-
-        return jax.lax.cond(jnp.any(oversized), compute_micro, skip, 0)
+        # No cond: the micro VJP is a handful of masked take-transposes
+        # (sub_dout rows beyond n_over are zeroed by ``sel``), and running
+        # it unconditionally avoids the taken-cond serialization the
+        # forward's correction measured (+17 ms for six stragglers). The
+        # zero-oversized case contributes exactly zero.
+        _, vjp = jax.vjp(fm, zeros_b)
+        return tuple(vjp(sub_dout)[0])
 
     def f(levels32):
         quad, offs, szs = _build_quad(levels32)
@@ -919,10 +921,9 @@ def _sharded_roi_align_bwd(feat_shapes, feat_dtype, win_y, win_x,
         k_micro = min(64, k_small)
         n_over = jnp.sum(oversized)
 
-        def over_with(k, micro=False):
+        def over_with(k):
             def fn(_):
-                over = _oversized_grads(feat_shapes, B, bxs, d, oversized,
-                                        k, micro=micro)
+                over = _oversized_grads(feat_shapes, B, bxs, d, oversized, k)
                 return tuple((g_ + o_).astype(feat_dtype)
                              for g_, o_ in zip(grads, over))
             return fn
@@ -936,16 +937,27 @@ def _sharded_roi_align_bwd(feat_shapes, feat_dtype, win_y, win_x,
             return jax.lax.cond(n_over > k_max, full_recompute,
                                 over_with(k_max), 0)
 
-        def mid(_):
+        def tail(_):
+            # > k_micro oversized (rare): recompute the ENTIRE oversized
+            # contribution from `grads` through the quad tiers — the
+            # unconditional micro result below is discarded, so nothing
+            # double-counts.
             if k_small < k_max:
                 return jax.lax.cond(n_over <= k_small, over_with(k_small),
                                     big, 0)
             return big(0)
 
-        if k_micro < k_small:
-            return jax.lax.cond(n_over <= k_micro,
-                                over_with(k_micro, micro=True), mid, 0)
-        return mid(0)
+        # Micro tier UNCONDITIONAL (mirrors the forward): the common
+        # training batch has 0..64 stragglers, and a taken lax.cond around
+        # the correction serializes badly (see the forward's note).
+        over_m = _oversized_grads(feat_shapes, B, bxs, d, oversized,
+                                  k_micro, micro=True)
+        dfeat_m = tuple((g_ + o_).astype(feat_dtype)
+                        for g_, o_ in zip(grads, over_m))
+        if k_micro >= k_max:
+            return jax.lax.cond(n_over > k_max, full_recompute,
+                                lambda _: dfeat_m, 0)
+        return jax.lax.cond(n_over <= k_micro, lambda _: dfeat_m, tail, 0)
 
     return _cp_batch_call(
         ("roi_align_bwd", feat_shapes, feat_dtype, win_y, win_x,
