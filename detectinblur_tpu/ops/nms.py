@@ -213,10 +213,22 @@ def grouped_nms_presorted(
                                    iou_threshold)
     )(boxes, scores)
 
-    flat_scores = scores.reshape(G * K).astype(jnp.float32)
-    order = jnp.argsort(-flat_scores, stable=True)
-    alive_sorted = alive.reshape(G * K)[order]
-    return _rank_epilogue(order, alive_sorted, max_outputs)
+    # Global best-k survivors DIRECTLY by score: top_k breaks ties by the
+    # lowest flattened index, which is exactly the stable argsort(-scores)
+    # rank order the epilogue used — so the [G*K] argsort + rank gather
+    # are redundant (~1.6 ms/batch of the eval RPN on v5e).
+    n = G * K
+    flat_scores = scores.reshape(n).astype(jnp.float32)
+    alive_flat = alive.reshape(n)
+    sel_key = jnp.where(alive_flat, flat_scores, -jnp.inf)
+    k = min(max_outputs, n)
+    _, picked = jax.lax.top_k(sel_key, k)
+    valid = alive_flat[picked]
+    idxs = jnp.where(valid, picked, 0).astype(jnp.int32)
+    if k < max_outputs:
+        idxs = jnp.pad(idxs, (0, max_outputs - k))
+        valid = jnp.pad(valid, (0, max_outputs - k))
+    return idxs, valid
 
 
 @functools.partial(jax.jit, static_argnames=("max_outputs",))
