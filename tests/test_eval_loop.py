@@ -77,6 +77,95 @@ def test_dedup_respects_zero_detection_images():
     assert [x["image_id"] for x in out] == [6]
 
 
+def _expanded_gt_world():
+    """Three images, one GT box each; each 'host' blurs its shard with its
+    own PSF so the expanded GT (extents applied to box edges) exists ONLY on
+    the host that evaluated the image. Detections sit exactly on the
+    expanded boxes, so the stats are 1.0 iff every image is scored against
+    its expanded GT — including host 0's images when the scoring happens on
+    host 1 (VERDICT r4 missing item 1)."""
+    from detectinblur_tpu.eval.coco_index import COCOIndex
+
+    gt = COCOIndex({
+        "images": [{"id": i, "height": 100, "width": 100} for i in (1, 2, 3)],
+        "annotations": [
+            {"id": i, "image_id": i, "category_id": 1,
+             "bbox": [30.0, 30.0, 20.0, 20.0], "area": 400.0, "iscrowd": 0}
+            for i in (1, 2, 3)
+        ],
+        "categories": [{"id": 1}],
+    })
+    # Per-image expansion (simulating each host's own sampled PSF): big
+    # enough that a detection on the expanded box has IoU < 0.5 vs the
+    # un-expanded GT (20x20 -> 50x50: IoU 0.16).
+    expanded = {
+        1: np.array([[15.0, 15.0, 65.0, 65.0]]),
+        2: np.array([[10.0, 20.0, 60.0, 70.0]]),
+        3: np.array([[20.0, 10.0, 70.0, 60.0]]),
+    }
+    det = lambda img: {"image_id": img, "category_id": 1,
+                       "bbox": [float(expanded[img][0][0]),
+                                float(expanded[img][0][1]),
+                                float(expanded[img][0][2] - expanded[img][0][0]),
+                                float(expanded[img][0][3] - expanded[img][0][1])],
+                       "score": 0.9}
+    return gt, expanded, det
+
+
+def _stats_for(gt, results, expanded_records):
+    import copy
+
+    from detectinblur_tpu.eval.coco_eval import COCOEval
+    from detectinblur_tpu.eval.coco_index import COCOIndex
+    from detectinblur_tpu.train.eval_loop import rewrite_expanded_gt
+
+    g = COCOIndex(copy.deepcopy(gt.dataset))
+    for img_id, boxes in expanded_records:
+        rewrite_expanded_gt(g, img_id, boxes, len(boxes))
+    ev = COCOEval(g, g.load_res(results), "bbox")
+    ev.evaluate()
+    ev.accumulate()
+    return ev.summarize()
+
+
+def test_multihost_expanded_gt_scored_on_other_host():
+    """Host 0 blurred+evaluated images 1, 2; host 1 evaluated 2 (shard-pad
+    duplicate, with ITS OWN different expansion) and 3. After the merge,
+    every host must score image 1 and 2 against host 0's expanded GT and
+    image 3 against host 1's — the 19-stat vector equals the single-host
+    run, and differs from scoring against un-expanded GT."""
+    from detectinblur_tpu.train.eval_loop import merge_host_payloads
+
+    gt, expanded, det = _expanded_gt_world()
+    dup2 = np.array([[25.0, 25.0, 55.0, 55.0]])  # host 1's own blur of img 2
+    host0_ids, host1_ids = [1, 2], [2, 3]
+    host0_res = [det(1), det(2)]
+    host1_res = [{**det(2), "bbox": [25.0, 25.0, 30.0, 30.0]}, det(3)]
+    host0_exp = [(1, expanded[1]), (2, expanded[2])]
+    host1_exp = [(2, dup2), (3, expanded[3])]
+
+    merged_res, merged_exp = merge_host_payloads(
+        [host0_ids, host1_ids], [host0_res, host1_res],
+        [host0_exp, host1_exp])
+    # First-host claim: image 2's detections AND expansion come from host 0.
+    assert dict(merged_exp)[2].tolist() == expanded[2].tolist()
+    assert len(merged_res) == 3
+
+    multi = _stats_for(gt, merged_res, merged_exp)
+    # Single-host oracle: one host evaluated everything, with the records
+    # the merge should have kept.
+    single = _stats_for(gt, [det(1), det(2), det(3)],
+                        [(1, expanded[1]), (2, expanded[2]),
+                         (3, expanded[3])])
+    np.testing.assert_allclose(multi, single)
+    assert multi[0] == pytest.approx(1.0), "dets sit on the expanded boxes"
+    # Sensitivity: the pre-fix behavior (non-local images scored against
+    # UN-expanded GT) must move the stats — i.e. the gathered expansion is
+    # load-bearing, not decorative.
+    broken = _stats_for(gt, merged_res, [(2, expanded[2])])
+    assert abs(broken[0] - multi[0]) > 0.1
+
+
 class _FakeLoader:
     """Two one-image batches, shaped like DetectionLoader output."""
 
@@ -119,6 +208,41 @@ def _tiny_index():
         ],
         "categories": [{"id": 1}],
     })
+
+
+def test_evaluate_coco_expand_rewrites_after_merge():
+    """Single-host end-to-end through evaluate_coco with
+    expand_target_boxes=True: the deferred (post-merge) rewrite path scores
+    detections against the step's expanded GT, not the original."""
+    from detectinblur_tpu.models.faster_rcnn import Detections
+    import jax.numpy as jnp
+
+    loader = _FakeLoader()
+    # Give each one-image batch a valid GT box matching the tiny index.
+    for i, (batch, bucket, ids) in enumerate(loader.batches):
+        loader.batches[i] = (batch._replace(
+            gt_boxes=jnp.asarray([[[1.0 + i, 1.0 + i, 5.0 + i, 5.0 + i],
+                                   [0.0, 0.0, 0.0, 0.0]]]),
+            gt_valid=jnp.asarray([[True, False]])), bucket, ids)
+
+    def eval_step(params, batch, key):
+        expanded = batch.gt_boxes + jnp.asarray([-1.0, -1.0, 1.0, 1.0])
+        dets = Detections(
+            boxes=expanded[:, :1, :],
+            scores=jnp.asarray([[0.9]]),
+            labels=jnp.asarray([[1]]),
+            valid=jnp.asarray([[True]]),
+        )
+        return dets, expanded
+
+    stats = evaluate_coco(eval_step, None, loader, _tiny_index(),
+                          expand_target_boxes=True, print_freq=1000)
+    # Detections sit exactly on the expanded GT -> perfect AP; without the
+    # rewrite a 6x6 det vs 4x4 GT at offset 1 has IoU 4/9 < 0.5 -> AP 0.
+    assert stats[0] == pytest.approx(1.0)
+    stats_noexp = evaluate_coco(eval_step, None, loader, _tiny_index(),
+                                expand_target_boxes=False, print_freq=1000)
+    assert stats_noexp[0] < 0.5
 
 
 def test_evaluate_coco_threads_fresh_keys():
