@@ -60,12 +60,21 @@ def restore_checkpoint(path: str, template: TrainState, bn_stats_template=None):
 
 
 def restore_weights(path: str, params_template) -> Any:
-    """--start_from_weights: params only (train.py:260-263)."""
-    with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(path) + "/params"
-                             if os.path.isdir(os.path.join(path, "params"))
-                             else os.path.abspath(path),
-                             params_template)
+    """--start_from_weights: params only (train.py:260-263).
+
+    Accepts either a full ``save_checkpoint`` directory — restores just its
+    "params" subtree via a partial restore, leaving optimizer state and step
+    untouched — or a bare params-tree checkpoint."""
+    path = os.path.abspath(path)
+    try:
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            out = ckptr.restore(path, args=ocp.args.PyTreeRestore(
+                item={"params": params_template}, partial_restore=True))
+        return out["params"]
+    except ValueError:
+        # Not a {params, opt_state, step} payload: treat as a bare tree.
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(path, params_template)
 
 
 def latest_epoch(output_dir: str) -> Optional[int]:
