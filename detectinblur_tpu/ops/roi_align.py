@@ -214,6 +214,9 @@ def _flat_sample(features, levels, img_idx, boxes, level_scales,
     """
     import numpy as np
 
+    assert len(features) == 4, (
+        "_flat_sample's row-base table is built for exactly 4 FPN levels; "
+        f"got {len(features)}")
     B = features[0].shape[0]
     C = features[0].shape[-1]
     s, g = output_size, sampling_ratio

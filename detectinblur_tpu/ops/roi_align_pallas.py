@@ -131,19 +131,25 @@ def _kernel_factory(rps, win_y, win_x, wins, n_steps, out_size, win_dtype):
             [jnp.pad(tx[k], ((0, 0), (k * win_x, (rps - 1 - k) * win_x)))
              for k in range(rps)], axis=0)
 
+        # Parity (f32-window) configs must not let the MXU bf16-round the
+        # bilinear weights/features (default one-pass f32 matmul does,
+        # ~1e-2 absolute error on unit-scale features — measured on v5e);
+        # bf16 windows lose nothing to the rounding, keep the fast pass.
+        prec = (jax.lax.Precision.HIGHEST if win_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         cur = win[step % 2]                   # [rps, win_y, win_x, C]
         w2 = cur.reshape(rps * win_y, win_x * C)
         # Contract y: -> [rps*7, win_x*C].
         t1 = jax.lax.dot_general(
             ty_blk, w2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            precision=prec, preferred_element_type=jnp.float32)
         # Rearrange so x is contractable: [rps*win_x, 7*C].
         t1 = t1.reshape(rps, out_size, win_x, C).transpose(0, 2, 1, 3)
         t1 = t1.reshape(rps * win_x, out_size * C).astype(win_dtype)
         # Contract x: -> [rps*7x, 7y*C].
         t2 = jax.lax.dot_general(
             tx_blk, t1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            precision=prec, preferred_element_type=jnp.float32)
         bins_xy = t2.reshape(rps, out_size, out_size, C)   # [r, x, y, C]
         out_ref[:] = bins_xy.transpose(0, 2, 1, 3).astype(out_ref.dtype)
 
@@ -401,11 +407,14 @@ def pallas_multiscale_roi_align(
                            s, g, out_dtype)                      # [k,s,s,C]
 
     # Placement without the [N, s*s*C] matmul: rows come either from the
-    # kernel output or (for the first k_micro oversized rois, which
-    # top_k(0/1) lists in ascending index order) from sub_m — one concat
-    # and one N-row take. Rois beyond the micro budget keep their kernel
-    # rows here and are re-placed by the BIG tiers below.
-    rank = jnp.cumsum(oversized) - 1                             # [N]
+    # kernel output or (for the rois idx_m sampled) from sub_m — one concat
+    # and one N-row take. Each roi's sub_m row number is SCATTERED from
+    # idx_m itself, so sampling and placement share one source of truth
+    # and cannot desynchronize (rois outside idx_m keep the fill value
+    # k_micro and fall through to the BIG tiers below; surplus top_k picks
+    # on non-oversized rois are masked by ``oversized``).
+    rank = jnp.full((N,), k_micro, jnp.int32).at[idx_m].set(
+        jnp.arange(k_micro, dtype=jnp.int32))                    # [N]
     row_src = jnp.where(oversized & (rank < k_micro),
                         N + jnp.clip(rank, 0, k_micro - 1),
                         jnp.arange(N))
@@ -472,7 +481,8 @@ def pallas_multiscale_roi_align(
 # ======================================================================
 
 
-def _bwd_kernel_factory(chains, win_y, win_x, wins, n_steps):
+def _bwd_kernel_factory(chains, win_y, win_x, wins, n_steps,
+                        precision=jax.lax.Precision.DEFAULT):
 
     def kernel(img_ref, lvl_ref, y0_ref, x0_ref, cls_ref,  # scalar [chains,S]
                z2, z3, z4, z5,                           # aliased zero inits
@@ -521,9 +531,11 @@ def _bwd_kernel_factory(chains, win_y, win_x, wins, n_steps):
             txT = tx_ref[0, c].astype(jnp.float32)         # [win_x, 7]
             v = jax.lax.dot_general(
                 txT, do, (((1,), (1,)), ((), ())),
+                precision=precision,
                 preferred_element_type=jnp.float32)        # [wx, 7, C]
             dwin = jax.lax.dot_general(
                 tyT, v, (((1,), (1,)), ((), ())),
+                precision=precision,
                 preferred_element_type=jnp.float32)        # [wy, wx, C]
             win[c] = win[c] + dwin
             roi_dma(step, c, inbound=False, do_wait=False)
@@ -635,7 +647,13 @@ def _pallas_roi_align_bwd(feat_shapes, boxes, dout, win_y, win_x, chains=4):
             pltpu.SemaphoreType.DMA((chains,)),
         ],
     )
-    kernel = _bwd_kernel_factory(chains, win_y, win_x, wins, steps)
+    # Same MXU-rounding rule as the forward: f32 cotangents (parity
+    # config) need HIGHEST or the weight/grad matmuls bf16-round; bf16
+    # cotangents lose nothing to the fast pass.
+    bwd_prec = (jax.lax.Precision.HIGHEST if dout.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+    kernel = _bwd_kernel_factory(chains, win_y, win_x, wins, steps,
+                                 precision=bwd_prec)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -126,3 +126,41 @@ def test_grouped_nms_matches_batched(rng):
         got = np.asarray(g_idx)[np.asarray(g_valid)]
         want = np.asarray(b_idx)[np.asarray(b_valid)]
         assert got.tolist() == want.tolist(), trial
+
+
+def test_grouped_nms_tie_break_across_groups(rng):
+    """Deliberately DUPLICATED scores across groups: the direct top_k
+    epilogue must keep the stable-argsort rank order, i.e. ties broken by
+    the lowest flattened (group-major) index (ADVICE r4: lax.top_k's
+    lowest-index tie-breaking is load-bearing and was untested)."""
+    from detectinblur_tpu.ops.nms import grouped_nms_presorted
+
+    G, K = 4, 12
+    # Disjoint far-apart boxes: nothing suppresses, so the output order is
+    # PURELY the score/tie-break order.
+    boxes = np.zeros((G, K, 4), np.float32)
+    for g in range(G):
+        for k in range(K):
+            x = 1000.0 * g + 20.0 * k
+            boxes[g, k] = [x, 0.0, x + 8.0, 8.0]
+    # A handful of distinct values, each duplicated across several groups
+    # and positions (descending within each group: the precondition).
+    vals = np.array([0.9, 0.9, 0.7, 0.7, 0.7, 0.5, 0.5, 0.5, 0.5, 0.3,
+                     0.3, 0.1], np.float32)
+    scores = np.stack([vals for _ in range(G)])
+
+    g_idx, g_valid = grouped_nms_presorted(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, G * K)
+    assert bool(np.all(np.asarray(g_valid)))
+    flat_s = scores.reshape(-1)
+    cats = np.repeat(np.arange(G), K)
+    b_idx, b_valid = batched_nms(
+        jnp.asarray(boxes.reshape(-1, 4)), jnp.asarray(flat_s),
+        jnp.asarray(cats), 0.5, G * K)
+    got = np.asarray(g_idx)[np.asarray(g_valid)]
+    want = np.asarray(b_idx)[np.asarray(b_valid)]
+    assert got.tolist() == want.tolist()
+    # And the tie-break rule itself, independent of batched_nms: stable
+    # argsort of -scores = descending score, lowest flattened index first.
+    expect = np.argsort(-flat_s, kind="stable")
+    assert got.tolist() == expect.tolist()

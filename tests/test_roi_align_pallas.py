@@ -204,3 +204,26 @@ def test_fused_vjp_micro_tier(rng, monkeypatch):
     for g, e in zip(got, expected):
         np.testing.assert_allclose(np.asarray(g), np.asarray(e),
                                    atol=3e-5, rtol=1e-4)
+
+
+def test_pallas_micro_tier_scattered_oversized(rng):
+    """Several oversized rois at SCATTERED indices (not a contiguous
+    prefix): the micro tier's sampling (idx_m) and placement (rank
+    scattered from idx_m) must agree per-roi (ADVICE r4 item 4)."""
+    B, R = 1, 48
+    feats = _feats(rng, B)
+    boxes = np.zeros((B, R, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, 180, (B, R))
+    boxes[..., 1] = rng.uniform(0, 140, (B, R))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(8, 60, (B, R))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(8, 60, (B, R))
+    # Oversized wide slivers at scattered, DISTINCT geometries so a
+    # sampling/placement swap between any two of them changes values.
+    for j, i in enumerate([3, 11, 17, 29, 41, 46]):
+        boxes[0, i] = [0.0, 60.0 + 9 * j, 318.0, 63.0 + 9 * j]
+    boxes = jnp.asarray(boxes)
+
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(pallas_multiscale_roi_align(feats, boxes))
+
+    np.testing.assert_allclose(ours, _expected(feats, boxes), atol=2e-5)
