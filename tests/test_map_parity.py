@@ -90,12 +90,20 @@ def _make_images(rng, n):
     return imgs
 
 
-def _batch_for(img, psf=None):
-    """One-image BlurBatch on the (128, 160) source canvas."""
+def _batch_for(img, psf=None, gt_boxes=None, n_gt_slots=8):
+    """One-image BlurBatch on the (128, 160) source canvas; ``gt_boxes``
+    [n, 4] xyxy fills the padded GT slots (for the expand variant)."""
     h, w = img.shape[:2]
     canvas = np.zeros((1, BUCKET[0], BUCKET[1], 3), np.float32)
     canvas[0, :h, :w] = img
     B = 1
+    gtb = np.zeros((B, n_gt_slots, 4), np.float32)
+    gtv = np.zeros((B, n_gt_slots), bool)
+    if gt_boxes is not None:
+        n = len(gt_boxes)
+        assert n <= n_gt_slots
+        gtb[0, :n] = gt_boxes
+        gtv[0, :n] = True
     return BlurBatch(
         images=jnp.asarray(canvas),
         hw=jnp.asarray([[h, w]]),
@@ -105,8 +113,9 @@ def _batch_for(img, psf=None):
         thetas=jnp.zeros((B,)), lam1s=jnp.ones((B,)), lam2s=jnp.ones((B,)),
         param_index=jnp.full((B,), -1, jnp.int32),
         fraction_index=jnp.full((B,), -1, jnp.int32),
-        gt_boxes=jnp.zeros((B, 8, 4)), gt_labels=jnp.zeros((B, 8), jnp.int32),
-        gt_valid=jnp.zeros((B, 8), bool),
+        gt_boxes=jnp.asarray(gtb),
+        gt_labels=jnp.zeros((B, n_gt_slots), jnp.int32),
+        gt_valid=jnp.asarray(gtv),
         est_label=jnp.full((B,), -1, jnp.int32),
     )
 
@@ -317,3 +326,170 @@ def test_gate_is_sensitive_to_constant_perturbation(sd_model):
     bent = _stats(gt, bent_res)
     assert np.abs(base - bent).max() > 1e-3, (
         "gate failed to detect a perturbed NMS constant")
+
+
+# ------------------------------------------------- remedy-protocol cells
+def _np_expand_targets(boxes_xyxy, psf, h, w):
+    """Independent numpy oracle for expand_targets + fix_bounding_box_squeeze
+    (/root/reference/utils.py:360-434): expansion = nonzero extents - 63
+    applied to the box edges, then clamp -> degenerate repair -> clamp."""
+    nz = np.nonzero(psf / max(psf.sum(), 1e-20))
+    top, bottom = nz[0].min() - 63.0, nz[0].max() - 63.0
+    left, right = nz[1].min() - 63.0, nz[1].max() - 63.0
+    b = np.asarray(boxes_xyxy, np.float64).copy()
+    b[:, 0] += left
+    b[:, 2] += right
+    b[:, 1] += top
+    b[:, 3] += bottom
+
+    def clamp(b):
+        b[:, 0] = np.clip(b[:, 0], 0, w - 1)
+        b[:, 2] = np.clip(b[:, 2], 0, w - 1)
+        b[:, 1] = np.clip(b[:, 1], 0, h - 1)
+        b[:, 3] = np.clip(b[:, 3], 0, h - 1)
+        return b
+
+    b = clamp(b)
+    bad = b[:, 0] >= b[:, 2]
+    b[bad, 2] += 1.0
+    b[bad, 0] -= 1.0
+    bad = b[:, 1] >= b[:, 3]
+    b[bad, 3] += 1.0
+    b[bad, 1] -= 1.0
+    return clamp(b).astype(np.float32)
+
+
+def _ann_boxes_xyxy(gt, img_id):
+    """Per-image GT boxes in annotation order (the positional rewrite
+    contract, engine.py:325-342)."""
+    out = []
+    for a in gt.img_to_anns[img_id]:
+        x, y, bw, bh = a["bbox"]
+        out.append([x, y, x + bw, y + bh])
+    return np.asarray(out, np.float32).reshape(-1, 4)
+
+
+def test_map_delta_expanded_gt(sd_model):
+    """--expand_target_boxes end-to-end to the stat vector (VERDICT r4
+    next-round item 4): the production step's PSF-driven GT expansion +
+    positional cocoGt rewrite vs an independent numpy oracle of
+    utils.py:369-386 on the SAME PSFs. Locks the extents-63 expansion and
+    squeeze-fix constants through the full metric."""
+    import copy
+
+    from detectinblur_tpu.train.eval_loop import rewrite_expanded_gt
+    from detectinblur_tpu.eval.coco_index import COCOIndex
+    from detectinblur_tpu.ops.psf import sample_psf
+
+    sd, model, params = sd_model
+    rng = np.random.default_rng(6)
+    images = _make_images(rng, 12)
+    keys = jax.random.split(jax.random.key(7), 4)
+    psfs = [np.asarray(jax.jit(sample_psf, static_argnames=("iters",))(
+        k, expl=0.001, fraction=0.15, iters=500)) for k in keys]
+
+    # Oracle pass (blurred) -> detections + GT anchoring.
+    t_results, oracle_dets = [], []
+    for i, img in enumerate(images):
+        psf = psfs[i % len(psfs)]
+        ref = torchvision_reference_forward(
+            sd, np_reference_roll_blur(img, psf), MIN_SIZE, MAX_SIZE,
+            pre_nms=PRE_NMS, post_nms=POST_NMS)
+        oracle_dets.append((ref["boxes"], ref["scores"], ref["labels"]))
+        _collect(t_results, i + 1, ref["boxes"], ref["scores"],
+                 ref["labels"])
+    gt = _gt_from_oracle(rng, images, oracle_dets)
+    slots = max(len(gt.img_to_anns[i + 1]) for i in range(len(images)))
+
+    # JAX pass with the production expansion; collect detections AND the
+    # step's expanded GT, rewriting a deepcopy like evaluate_coco does.
+    step = make_eval_step(model, BUCKET, blur_eval=True,
+                          expand_target_boxes=True)
+    gt_jax = COCOIndex(copy.deepcopy(gt.dataset))
+    gt_torch = COCOIndex(copy.deepcopy(gt.dataset))
+    j_results = []
+    for i, img in enumerate(images):
+        psf = psfs[i % len(psfs)]
+        ann_boxes = _ann_boxes_xyxy(gt, i + 1)
+        dets, expanded = step(params, _batch_for(img, psf, ann_boxes,
+                                                 n_gt_slots=slots))
+        valid = np.asarray(dets.valid[0])
+        _collect(j_results, i + 1,
+                 np.asarray(dets.boxes[0])[valid],
+                 np.asarray(dets.scores[0])[valid],
+                 np.asarray(dets.labels[0])[valid])
+        rewrite_expanded_gt(gt_jax, i + 1,
+                            np.asarray(expanded[0]), len(ann_boxes))
+        h, w = img.shape[:2]
+        rewrite_expanded_gt(gt_torch, i + 1,
+                            _np_expand_targets(ann_boxes, psf, h, w),
+                            len(ann_boxes))
+
+    # The two stacks' EXPANSIONS must agree exactly (same integer extents).
+    for i in range(len(images)):
+        a = np.asarray([x["bbox"] for x in gt_jax.img_to_anns[i + 1]])
+        b = np.asarray([x["bbox"] for x in gt_torch.img_to_anns[i + 1]])
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    st = _stats(gt_torch, t_results)
+    sj = _stats(gt_jax, j_results)
+    assert st[0] > 0.05, "expanded-GT protocol must keep a material mAP"
+    deltas = np.abs(st - sj)
+    msg = "; ".join(f"{n}: {t:.4f} vs {j:.4f}"
+                    for n, t, j, d in zip(STAT_NAMES, st, sj, deltas)
+                    if d > 1e-3)
+    assert deltas.max() <= 1e-3, f"stat deltas exceed 1e-3: {msg}"
+    # Vacuity guard: expansion moved the GT, i.e. this cell is not the
+    # plain blurred gate in disguise.
+    s_plain = _stats(gt, j_results)
+    assert np.abs(s_plain - sj).max() > 1e-3
+
+
+def test_map_delta_warp(sd_model):
+    """--warp_in_model end-to-end to the stat vector: the production Squint
+    path (warp inputs, backbone, inverse-warp FPN levels, warper.py:13-52 /
+    generalized_rcnn.py:131-141) vs the torch oracle running the same
+    protocol with the reference's matrix composition, warp params derived
+    from the SAME PSFs."""
+    from detectinblur_tpu.ops.psf import psf_principal_components, sample_psf
+
+    sd, model, params = sd_model
+    wmodel = FasterRCNN(model.cfg._replace(warp_internally=True))
+    rng = np.random.default_rng(8)
+    images = _make_images(rng, 8)
+    keys = jax.random.split(jax.random.key(9), 4)
+    psfs = [np.asarray(jax.jit(sample_psf, static_argnames=("iters",))(
+        k, expl=0.001, fraction=0.15, iters=500)) for k in keys]
+    comps = [jax.jit(psf_principal_components)(jnp.asarray(p)) for p in psfs]
+
+    step = make_eval_step(wmodel, BUCKET, blur_eval=True, use_warp=True)
+    t_results, j_results, oracle_dets = [], [], []
+    for i, img in enumerate(images):
+        psf = psfs[i % len(psfs)]
+        c = comps[i % len(psfs)]
+        warp = (float(c.theta_rad), float(c.scale_factor_lambda1),
+                float(c.scale_factor_lambda2))
+        assert warp[1] != 1.0 or warp[2] != 1.0  # non-identity squint
+        ref = torchvision_reference_forward(
+            sd, np_reference_roll_blur(img, psf), MIN_SIZE, MAX_SIZE,
+            pre_nms=PRE_NMS, post_nms=POST_NMS, warp=warp)
+        oracle_dets.append((ref["boxes"], ref["scores"], ref["labels"]))
+        _collect(t_results, i + 1, ref["boxes"], ref["scores"],
+                 ref["labels"])
+
+        dets, _ = step(params, _batch_for(img, psf))
+        valid = np.asarray(dets.valid[0])
+        _collect(j_results, i + 1,
+                 np.asarray(dets.boxes[0])[valid],
+                 np.asarray(dets.scores[0])[valid],
+                 np.asarray(dets.labels[0])[valid])
+
+    gt = _gt_from_oracle(rng, images, oracle_dets)
+    st = _stats(gt, t_results)
+    sj = _stats(gt, j_results)
+    assert st[0] > 0.2 and sj[0] > 0.2
+    deltas = np.abs(st - sj)
+    msg = "; ".join(f"{n}: {t:.4f} vs {j:.4f}"
+                    for n, t, j, d in zip(STAT_NAMES, st, sj, deltas)
+                    if d > 1e-3)
+    assert deltas.max() <= 1e-3, f"stat deltas exceed 1e-3: {msg}"

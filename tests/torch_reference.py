@@ -247,13 +247,45 @@ def np_roi_align(feat_chw, box, spatial_scale, out=7, ratio=2):
     return res
 
 
+def torch_squint_warp(t, theta, lam1, lam2):
+    """The reference Squint warp (warper.py:13-52 matrix composition) on a
+    [1, C, H, W] tensor via torch affine_grid + grid_sample (bilinear,
+    zeros, align_corners=False)."""
+    H, W = t.shape[-2:]
+    zero = torch.zeros(1)
+    one = torch.ones(1)
+    l1 = torch.full((1,), float(lam1))
+    l2 = torch.full((1,), float(lam2))
+    th = torch.full((1,), -float(theta))
+    S = torch.stack([torch.stack([l1, zero, zero], 1),
+                     torch.stack([zero, l2, zero], 1),
+                     torch.stack([zero, zero, one], 1)], 2)
+    R = torch.stack([torch.stack([torch.cos(th), torch.sin(th), zero], 1),
+                     torch.stack([-torch.sin(th), torch.cos(th), zero], 1),
+                     torch.stack([zero, zero, one], 1)], 2)
+    T = torch.stack([torch.stack([one, zero, one * W], 1),
+                     torch.stack([zero, one, one * H], 1),
+                     torch.stack([zero, zero, one], 1)], 2)
+    fwd = torch.bmm(R, T)
+    fwd_s = torch.bmm(S, fwd)
+    overall = torch.inverse(torch.bmm(torch.inverse(fwd), fwd_s))[:, :2, :]
+    grid = F.affine_grid(overall, t.shape, align_corners=False)
+    return F.grid_sample(t, grid, mode="bilinear", padding_mode="zeros",
+                         align_corners=False)
+
+
 # ------------------------------------------------------------- inference
 def torchvision_reference_forward(sd, image_hwc, min_size=128, max_size=160,
                                   eps=0.0, score_thresh=0.05,
-                                  pre_nms=1000, post_nms=1000):
+                                  pre_nms=1000, post_nms=1000, warp=None):
     """Full inference: raw image [H, W, 3] 0..1 -> dict with the resized
     hw, FPN maps, RPN proposals, and final (boxes, scores, labels) in
-    ORIGINAL image coordinates."""
+    ORIGINAL image coordinates.
+
+    ``warp=(theta, lam1, lam2)`` enables the Squint path
+    (generalized_rcnn.py:131-141): warp the normalized/resized/padded
+    input, run the backbone, inverse-warp every FPN level before the RPN
+    head."""
     h0, w0 = image_hwc.shape[:2]
     img = (image_hwc - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
         IMAGENET_STD, np.float32)
@@ -267,7 +299,12 @@ def torchvision_reference_forward(sd, image_hwc, min_size=128, max_size=160,
         ph = (nh + 31) // 32 * 32
         pw = (nw + 31) // 32 * 32
         t = F.pad(t, (0, pw - nw, 0, ph - nh))
+        if warp is not None:
+            t = torch_squint_warp(t, warp[0], warp[1], warp[2])
         feats = resnet50_fpn_forward(sd, t, eps)
+        if warp is not None:
+            feats = [torch_squint_warp(f, warp[0], 1.0 / warp[1],
+                                       1.0 / warp[2]) for f in feats]
 
         # RPN head.
         obj_l, dlt_l = [], []
