@@ -23,7 +23,10 @@ from PIL import Image
 
 
 def render_gopro_synth(args):
-    from detectinblur_tpu.data.natural_datasets import GOPROSynth
+    from detectinblur_tpu.data.natural_datasets import (
+        GOPROSynth,
+        load_dors_targets,
+    )
 
     ds = GOPROSynth(args.root_dir, window=args.window,
                     expand_boxes=args.expand_boxes)
@@ -37,24 +40,60 @@ def render_gopro_synth(args):
         img = Image.fromarray(arr)
         img.save(os.path.join(args.output_dir, f"blur/{i:05d}.png"))
         with open(os.path.join(args.output_dir, f"blur/{i:05d}.dat"), "wb") as f:
-            pickle.dump({k: item[k] for k in ("boxes", "labels", "area", "iscrowd")}, f)
+            payload = {k: item[k] for k in ("boxes", "labels", "area", "iscrowd")}
+            # GOPROBlurEst reads the averaging window back out of the .dat
+            # (custom_datasets.py:1115-1119 windowSize).
+            payload["windowSize"] = 2 * args.window + 1
+            pickle.dump(payload, f)
+        # The reference renderer also writes the sharp CENTER frame and its
+        # un-expanded targets (generate_GOPRO_blur_set.py:39-56) so the
+        # estimator split has a no-blur class.
+        frames, center = ds.centers[i]
+        with Image.open(frames[center]) as sharp:
+            sharp.convert("RGB").save(
+                os.path.join(args.output_dir, f"sharp/{i:05d}.png"))
+        sb, sl, sa = load_dors_targets(
+            frames[center].replace(".png", "_DORS.npy"), ds.threshold)
+        with open(os.path.join(args.output_dir, f"sharp/{i:05d}.dat"), "wb") as f:
+            pickle.dump({"boxes": sb, "labels": sl, "area": sa,
+                         "iscrowd": np.zeros(len(sl), np.int32)}, f)
         if i % 100 == 0:
             print(f"rendered {i}/{min(len(ds), args.limit)}")
 
 
+def _blur_label_for(path: str) -> int:
+    """Estimator class for a rendered image: 0 for sharp frames, else a
+    LEHE-style class from the stored averaging window. The reference's
+    split labels come from pre-existing GTBlurEstFiles pickles whose
+    generation script is not in the repo (segment_GOPRO.py:30-37 just
+    loads them), so the window->class mapping here is this framework's
+    documented stand-in: wider averaging window = stronger blur class."""
+    if "sharp" in os.path.basename(os.path.dirname(path)):
+        return 0
+    try:
+        with open(path.replace(".png", ".dat"), "rb") as f:
+            w = int(pickle.load(f).get("windowSize", 0))
+    except Exception:
+        w = 0
+    return 1 if w <= 7 else (2 if w <= 13 else 3)
+
+
 def segment_gopro(args):
+    """90/10 estimator split lists in GOPROBlurEst's format: one
+    "imagePath,blurLabel" line per image (int label — the reference writes
+    the label from its GTBlurEstFiles pickles, segment_GOPRO.py:64-82, and
+    GOPROBlurEst int()s the field, custom_datasets.py:1090-1096)."""
     rng = np.random.default_rng(1337)
     pairs = []
     for p in sorted(Path(args.root_dir).rglob("*.png")):
-        ann = str(p).replace(".png", ".dat")
-        if os.path.exists(ann):
-            pairs.append((str(p), ann))
+        if os.path.exists(str(p).replace(".png", ".dat")):
+            pairs.append((str(p), _blur_label_for(str(p))))
     rng.shuffle(pairs)
     cut = math.ceil(0.9 * len(pairs))
     for name, chunk in (("trainSplit.txt", pairs[:cut]), ("valSplit.txt", pairs[cut:])):
         with open(os.path.join(args.root_dir, name), "w") as f:
-            for img, ann in chunk:
-                f.write(f"{img},{ann}\n")
+            for img, label in chunk:
+                f.write(f"{img},{label}\n")
     print(f"{len(pairs)} pairs -> {cut} train / {len(pairs) - cut} val")
 
 

@@ -251,9 +251,13 @@ def main(argv=None):
         from detectinblur_tpu.data.natural_datasets import get_natural_dataset
         from detectinblur_tpu.train.eval_loop import dataset_to_coco_index
 
+        # Only GOPROSynth takes the flow-walk box expansion knob
+        # (--expand_synth_boxes, custom_datasets.py:636-699); the other
+        # loaders' pseudo-GT comes pre-sized from the DORS dumps.
+        nat_kw = ({"expand_boxes": args.expand_synth_boxes}
+                  if args.blurred_dataset == "GOPROSynth" else {})
         ds = get_natural_dataset(args.blurred_dataset, args.data_path,
-                                 expand_boxes=args.expand_synth_boxes
-                                 if args.blurred_dataset == "GOPROSynth" else False)
+                                 **nat_kw)
         coco_gt = dataset_to_coco_index(ds)
         loader = DetectionLoader(ds, 1, BlurPolicy(prob=0.0), None,
                                  shuffle=False, drop_last=False,
