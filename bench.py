@@ -149,17 +149,21 @@ def _run():
         jax.block_until_ready(out)
         window_rates.append(B * iters / (time.perf_counter() - t0))
 
-    img_per_s = max(window_rates)
+    best = max(window_rates)
     median = sorted(window_rates)[len(window_rates) // 2]
-    # All per-window rates go in the JSON so the spread behind the
-    # best-window number (relay-stall variance) is visible, not silent.
+    # Headline = MEDIAN window (VERDICT r4 #8): the r4 data showed the
+    # median survives relay stalls (125.44 vs best 125.56 across 12
+    # windows), so the more conservative statistic is now the recorded
+    # number. All per-window rates go in the JSON so the spread stays
+    # visible, not silent; best_window is kept for continuity with the
+    # r2-r4 records.
     print(json.dumps({
         "metric": "blur_detect_images_per_sec_per_chip",
-        "value": round(img_per_s, 2),
+        "value": round(median, 2),
         "unit": "img/s",
-        "vs_baseline": round(img_per_s / A100_X2_TARGET, 3),
+        "vs_baseline": round(median / A100_X2_TARGET, 3),
         "window_rates": [round(x, 2) for x in window_rates],
-        "median_window": round(median, 2),
+        "best_window": round(best, 2),
     }))
 
 

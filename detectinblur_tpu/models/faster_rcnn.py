@@ -337,8 +337,21 @@ class FasterRCNN:
                 multiscale_roi_align_fused,
             )
 
+            # Backward windows CAN tier below the forward's
+            # (DETECTINBLUR_BWD_WIN_DELTA=8 -> [32, 40] under a [40, 48]
+            # forward; gradients stay exact for any window — stragglers
+            # route through the take-VJP tiers). Measured on v5e r5 and
+            # REJECTED as the default: the tighter window costs ~26 ms/step
+            # (168.8 vs 143.0 ms at batch 8) under BOTH the from-scratch
+            # and the steady-state (zeroed-delta) proposal distributions —
+            # the extra oversized-tier traffic outweighs the smaller RMW
+            # windows. See PERF.md "backward window tiering".
+            import os as _os
+
+            delta = int(_os.environ.get("DETECTINBLUR_BWD_WIN_DELTA", "0"))
+            bwy = max(32, wy - delta)
             pooled = multiscale_roi_align_fused(p2to5, rois, 7, 2, rps,
-                                                wy, wy + 8)
+                                                wy, wy + 8, bwy, bwy + 8)
             logits, deltas = jax.vmap(
                 lambda p: self._head_from_pooled(params, p))(pooled)
         else:

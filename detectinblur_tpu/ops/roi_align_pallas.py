@@ -985,7 +985,7 @@ def _sharded_roi_align_bwd(feat_shapes, feat_dtype, win_y, win_x,
         (boxes, dout))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def multiscale_roi_align_fused(
     features,                 # tuple of 4 levels [B, H_l, W_l, C]
     boxes,                    # [B, R, 4]
@@ -994,19 +994,29 @@ def multiscale_roi_align_fused(
     rois_per_step: int = 4,
     win_y: int = 48,
     win_x: int = 56,
+    bwd_win_y: int | None = None,
+    bwd_win_x: int | None = None,
 ):
     """Differentiable batched FPN RoIAlign: Pallas window kernel forward,
     Pallas window-RMW backward (boxes get zero cotangents — proposals are
     detached, matching torchvision's roi_align which has no box grad).
     Both directions shard along the batch dim under a mesh (see the SPMD
-    section above)."""
+    section above).
+
+    ``bwd_win_y/x`` (default: the forward windows) size the backward's RMW
+    windows independently. The backward pays 2x the forward's HBM traffic
+    (read+write) in f32 (vs bf16 forward windows) and its dwin matmuls
+    scale with the window area, so a tighter backward window wins even
+    though it classifies more rois oversized — those route through the
+    exact k-bounded take-VJP tiers, so gradients stay exact for ANY window
+    choice (this is a pure perf knob, not an approximation)."""
     return sharded_multiscale_roi_align(
         tuple(features), boxes, output_size, sampling_ratio, rois_per_step,
         win_y, win_x)
 
 
 def _fused_fwd(features, boxes, output_size, sampling_ratio, rois_per_step,
-               win_y, win_x):
+               win_y, win_x, bwd_win_y, bwd_win_x):
     out = sharded_multiscale_roi_align(
         tuple(features), boxes, output_size, sampling_ratio, rois_per_step,
         win_y, win_x)
@@ -1017,13 +1027,14 @@ def _fused_fwd(features, boxes, output_size, sampling_ratio, rois_per_step,
 
 
 def _fused_bwd(output_size, sampling_ratio, rois_per_step, win_y, win_x,
-               res, dout):
+               bwd_win_y, bwd_win_x, res, dout):
     assert output_size == 7 and sampling_ratio == 2, (
         "fused backward supports the torchvision 7x7/2 configuration")
     boxes, shapes = res
     feat_shapes = tuple((p.shape[0], p.shape[1]) for p in shapes)
     feat_dtype = jnp.dtype(shapes[0].dtype).name
-    dfeat = _sharded_roi_align_bwd(feat_shapes, feat_dtype, win_y, win_x,
+    dfeat = _sharded_roi_align_bwd(feat_shapes, feat_dtype,
+                                   bwd_win_y or win_y, bwd_win_x or win_x,
                                    boxes, dout)
     return dfeat, jnp.zeros_like(boxes)
 
