@@ -15,11 +15,14 @@ Stage split for the fused train step (~143 ms at batch 8, r5):
 Run with DIB_ZERO_RPN_DELTA=1 for steady-state proposal shapes.
 """
 import os
+import sys
 import time
 
 os.environ.setdefault("DETECTINBLUR_PRECISION", "default")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -76,8 +79,9 @@ def total_loss_from(p, imgs, j):
     return sum(jnp.sum(v) for v in losses.values())
 
 
-def s_loss_fwd(j, p):
-    return total_loss_from(p, images, j)
+def s_loss_fwd(j, p, imgs, f):
+    del f
+    return total_loss_from(p, imgs, j)
 
 
 def heads_loss(p, f, j):
@@ -118,19 +122,22 @@ def heads_loss(p, f, j):
             + jnp.sum(box_sum)) / jnp.maximum(jnp.sum(n), 1)
 
 
-def s_heads_fwdbwd(j, p):
-    g = jax.grad(lambda f: heads_loss(p, f, j))(feats)
+def s_heads_fwdbwd(j, p, imgs, f):
+    del imgs
+    g = jax.grad(lambda ff: heads_loss(p, ff, j))(f)
     return sum(jnp.sum(x.astype(jnp.float32)) for x in g)
 
 
-def s_full_fwdbwd(j, p):
-    g = jax.grad(lambda q: total_loss_from(q, images, j))(p)
+def s_full_fwdbwd(j, p, imgs, f):
+    del f
+    g = jax.grad(lambda q: total_loss_from(q, imgs, j))(p)
     return sum(jnp.sum(x.astype(jnp.float32))
                for x in jax.tree.leaves(g))
 
 
-def s_train_nms(j, p):
-    f = tuple((x + j).astype(x.dtype) for x in feats)
+def s_train_nms(j, p, imgs, f):
+    del imgs
+    f = tuple((x + j).astype(x.dtype) for x in f)
     r = run_rpn(p["rpn_head"], model.rpn_head, f, new_hw,
                 training=True, cfg=cfg.rpn)
     return jnp.sum(r.proposals) + jnp.sum(r.objectness.astype(jnp.float32))
@@ -146,13 +153,13 @@ stages = [
 iters = 10
 ji = 1
 for name, fn in stages:
-    f = jax.jit(fn)
-    out = jax.device_get(f(jnp.float32(0.0), params))
+    jf = jax.jit(fn)
+    out = jax.device_get(jf(jnp.float32(0.0), params, images, feats))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = f(jnp.float32(1e-6 * ji), params)
+            out = jf(jnp.float32(1e-6 * ji), params, images, feats)
             ji += 1
         _ = jax.device_get(out)
         best = min(best, (time.perf_counter() - t0) / iters * 1000)
