@@ -98,6 +98,42 @@ def load_params(model, path: str, frozen_bn=True, mode_one_n=0.0):
     return params, stats
 
 
+def load_estimator(path: str, n_classes: int):
+    """Build the resnet18 blur estimator and restore its weights AND
+    running BN stats from either a train_blur_estimator checkpoint
+    (save_checkpoint layout: {params, opt_state, step, bn_stats}) or a
+    bare weights tree (then stats stay fresh, with a warning — eval-mode
+    BN normalizes with running stats, so fresh stats would misclassify;
+    the reference restores the full state dict, evaluate.py:186-205)."""
+    from detectinblur_tpu.models.classifier import ResNetClassifier
+    from detectinblur_tpu.train.checkpoint import restore_weights
+
+    estimator = ResNetClassifier("resnet18", n_classes, bn_mode="eval")
+    init_vars = estimator.init(
+        jax.random.key(0), np.zeros((1, 224, 224, 3), np.float32))
+    est_params = restore_weights(path, init_vars["params"])
+    est_stats = init_vars["batch_stats"]
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from detectinblur_tpu.train.checkpoint import checkpoint_keys
+
+    # Explicit presence check: Orbax's partial restore silently returns
+    # the TEMPLATE for an absent subtree, which would hide a weights-only
+    # checkpoint behind fresh stats.
+    if "bn_stats" in checkpoint_keys(path):
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            out = ckptr.restore(
+                os.path.abspath(path),
+                args=ocp.args.PyTreeRestore(
+                    item={"bn_stats": est_stats}, partial_restore=True))
+        est_stats = out["bn_stats"]
+    else:
+        print("estimator checkpoint has no bn_stats; using fresh stats")
+    return estimator, {"params": est_params, "batch_stats": est_stats}
+
+
 def run_cell(args, model, params, dataset_val, policy, psf_bank,
              ensemble=None, bn_stats=None, step_cache=None, loader=None,
              coco_index=None):
@@ -196,7 +232,6 @@ def main(argv=None):
         # Build the 4-specialist stack + optional estimator
         # (evaluate.py:159-205). Without an estimator path the oracle
         # dispatch by true blur params is used.
-        from detectinblur_tpu.models.classifier import ResNetClassifier
         from detectinblur_tpu.models.ensemble import stack_params
 
         assert args.ensemble_model_paths and len(args.ensemble_model_paths) == 4
@@ -205,27 +240,8 @@ def main(argv=None):
         params = trees[0]
         estimator = est_vars = None
         if args.blur_estimator_path:
-            n_classes = 4 if args.LEHE else 16
-            estimator = ResNetClassifier("resnet18", n_classes, bn_mode="eval")
-            from detectinblur_tpu.train.checkpoint import restore_weights
-
-            init_vars = estimator.init(
-                jax.random.key(0), np.zeros((1, 224, 224, 3), np.float32))
-            est_params = restore_weights(args.blur_estimator_path,
-                                         init_vars["params"])
-            est_stats = init_vars["batch_stats"]
-            try:
-                import os
-
-                import orbax.checkpoint as ocp
-
-                with ocp.StandardCheckpointer() as ckptr:
-                    est_stats = ckptr.restore(
-                        os.path.abspath(args.blur_estimator_path) + "/bn_stats",
-                        est_stats)
-            except Exception:
-                print("estimator checkpoint has no bn_stats; using fresh stats")
-            est_vars = {"params": est_params, "batch_stats": est_stats}
+            estimator, est_vars = load_estimator(
+                args.blur_estimator_path, 4 if args.LEHE else 16)
         ensemble = (stacked, estimator, est_vars, args.LEHE)
     elif args.resume:
         params, bn_stats = load_params(model, args.resume,

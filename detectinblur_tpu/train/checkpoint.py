@@ -64,17 +64,30 @@ def restore_weights(path: str, params_template) -> Any:
 
     Accepts either a full ``save_checkpoint`` directory — restores just its
     "params" subtree via a partial restore, leaving optimizer state and step
-    untouched — or a bare params-tree checkpoint."""
+    untouched — or a bare params-tree checkpoint. The branch is decided by
+    the checkpoint's own metadata: Orbax's partial restore silently returns
+    the TEMPLATE (i.e. the caller's fresh init) for an absent subtree
+    rather than raising, so a try/except here would load wrong weights
+    without a sound."""
     path = os.path.abspath(path)
-    try:
+    if checkpoint_keys(path) >= {"params", "opt_state", "step"}:
         with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
             out = ckptr.restore(path, args=ocp.args.PyTreeRestore(
                 item={"params": params_template}, partial_restore=True))
         return out["params"]
-    except ValueError:
-        # Not a {params, opt_state, step} payload: treat as a bare tree.
-        with ocp.StandardCheckpointer() as ckptr:
-            return ckptr.restore(path, params_template)
+    # Bare params tree.
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, params_template)
+
+
+def checkpoint_keys(path: str) -> set:
+    """Top-level pytree keys of an Orbax checkpoint directory."""
+    with ocp.StandardCheckpointer() as ckptr:
+        md = ckptr.metadata(os.path.abspath(path)).item_metadata
+    try:
+        return set(md.keys())
+    except Exception:
+        return set()
 
 
 def latest_epoch(output_dir: str) -> Optional[int]:
