@@ -84,16 +84,23 @@ def load_params(model, path: str, frozen_bn=True, mode_one_n=0.0):
     stats = None
     if model.has_bn:
         # Our own checkpoints carry bn_stats (train/checkpoint.py); fall
-        # back to fresh stats for weight-only artifacts.
+        # back to fresh stats for weight-only artifacts. Presence is
+        # decided by the checkpoint metadata — see load_estimator for why
+        # a try/except around a partial restore can't be trusted.
         import orbax.checkpoint as ocp
         import os
 
+        from detectinblur_tpu.train.checkpoint import checkpoint_keys
+
         stats = model.init_stats()
-        try:
-            with ocp.StandardCheckpointer() as ckptr:
-                stats = ckptr.restore(
-                    os.path.abspath(path) + "/bn_stats", stats)
-        except Exception:
+        if "bn_stats" in checkpoint_keys(path):
+            with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+                out = ckptr.restore(
+                    os.path.abspath(path),
+                    args=ocp.args.PyTreeRestore(
+                        item={"bn_stats": stats}, partial_restore=True))
+            stats = out["bn_stats"]
+        else:
             print("checkpoint has no bn_stats; using fresh running stats")
     return params, stats
 

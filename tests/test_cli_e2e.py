@@ -286,3 +286,32 @@ def test_evaluate_cli_natural_ensemble_dispatch(coco_root, tiny_cli,
                   "a", "b", "c", "d", "--early_stop", "2"])
     assert stats.shape == (19,)
     assert made, "ensemble dispatch never fired on the natural-blur branch"
+
+
+def test_load_params_restores_bn_stats_from_own_checkpoint(tiny_cli, tmp_path):
+    """--resume of an --unfrozen_batch_norm model from our own checkpoint
+    must restore the RUNNING BN stats payload, not fall back to fresh
+    stats (mode_one blends with them, batchnorm.py semantics; the silent
+    fresh-stats path is exactly the Orbax partial-restore pitfall found
+    in round 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from detectinblur_tpu.cli.evaluate import load_params
+    from detectinblur_tpu.train.checkpoint import save_checkpoint
+    from detectinblur_tpu.train.state import create_train_state
+    import optax
+
+    model = tiny_cli(None, bn_mode="train")
+    assert model.has_bn
+    params = model.init(jax.random.key(0))
+    state = create_train_state(params, optax.sgd(0.1))
+    stats = jax.tree.map(lambda x: jnp.full_like(x, 0.25),
+                         model.init_stats())
+    path = save_checkpoint(str(tmp_path), state, epoch=0, bn_stats=stats)
+
+    _, got = load_params(model, path)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        stats, got)
