@@ -150,7 +150,9 @@ def _run():
         window_rates.append(B * iters / (time.perf_counter() - t0))
 
     best = max(window_rates)
-    median = sorted(window_rates)[len(window_rates) // 2]
+    # LOWER median: with an even window count, [len//2] is the upper-middle
+    # element and would bias the "conservative" headline high.
+    median = sorted(window_rates)[(len(window_rates) - 1) // 2]
     # Headline = MEDIAN window (VERDICT r4 #8): the r4 data showed the
     # median survives relay stalls (125.44 vs best 125.56 across 12
     # windows), so the more conservative statistic is now the recorded

@@ -4,7 +4,8 @@
     disk (blur/ + sharp/ pngs + pickled targets, capped at 7000 images —
     dataset_utils/generate_GOPRO_blur_set.py:26-62).
   * segment-gopro: write 90/10 estimator train/val split lists of
-    "imagePath,annotationPath" lines (segment_GOPRO.py:44-82).
+    "imagePath,blurLabel" lines in GOPROBlurEst's format
+    (segment_GOPRO.py:44-82).
   * segment-reds: cull images with no above-threshold DORS boxes (keeping
     at most 20 empty ones), cap at 5000, write blurry.txt/sharp.txt
     (segment_REDS.py:47-102).
@@ -20,6 +21,8 @@ from pathlib import Path
 
 import numpy as np
 from PIL import Image
+
+from detectinblur_tpu.data.natural_datasets import with_suffix
 
 
 def render_gopro_synth(args):
@@ -53,7 +56,7 @@ def render_gopro_synth(args):
             sharp.convert("RGB").save(
                 os.path.join(args.output_dir, f"sharp/{i:05d}.png"))
         sb, sl, sa = load_dors_targets(
-            frames[center].replace(".png", "_DORS.npy"), ds.threshold)
+            with_suffix(frames[center], "_DORS.npy"), ds.threshold)
         with open(os.path.join(args.output_dir, f"sharp/{i:05d}.dat"), "wb") as f:
             pickle.dump({"boxes": sb, "labels": sl, "area": sa,
                          "iscrowd": np.zeros(len(sl), np.int32)}, f)
@@ -67,14 +70,22 @@ def _blur_label_for(path: str) -> int:
     split labels come from pre-existing GTBlurEstFiles pickles whose
     generation script is not in the repo (segment_GOPRO.py:30-37 just
     loads them), so the window->class mapping here is this framework's
-    documented stand-in: wider averaging window = stronger blur class."""
+    documented stand-in: wider averaging window = stronger blur class.
+    A blur image whose .dat carries no windowSize (e.g. a tree rendered
+    by another tool) gets a LOUD warning, not a silent class — a whole
+    tree of default labels would train the estimator on noise."""
     if "sharp" in os.path.basename(os.path.dirname(path)):
         return 0
     try:
-        with open(path.replace(".png", ".dat"), "rb") as f:
+        with open(with_suffix(path, ".dat"), "rb") as f:
             w = int(pickle.load(f).get("windowSize", 0))
     except Exception:
         w = 0
+    if w <= 0:
+        print(f"WARNING: {path}: blur .dat has no windowSize; "
+              "labeling as class 2 (middle) — re-render with this repo's "
+              "render-gopro-synth for real labels")
+        return 2
     return 1 if w <= 7 else (2 if w <= 13 else 3)
 
 
@@ -86,7 +97,7 @@ def segment_gopro(args):
     rng = np.random.default_rng(1337)
     pairs = []
     for p in sorted(Path(args.root_dir).rglob("*.png")):
-        if os.path.exists(str(p).replace(".png", ".dat")):
+        if os.path.exists(with_suffix(p, ".dat")):
             pairs.append((str(p), _blur_label_for(str(p))))
     rng.shuffle(pairs)
     cut = math.ceil(0.9 * len(pairs))
@@ -104,7 +115,7 @@ def segment_reds(args):
     for p in sorted(Path(args.root_dir).rglob("*.png")):
         if "blur" not in str(p):
             continue
-        ann = str(p).replace("blur", "sharp").replace(".png", "_DORS.npy")
+        ann = with_suffix(str(p).replace("blur", "sharp"), "_DORS.npy")
         if not os.path.exists(ann):
             continue
         with open(ann, "rb") as f:

@@ -84,24 +84,13 @@ def load_params(model, path: str, frozen_bn=True, mode_one_n=0.0):
     stats = None
     if model.has_bn:
         # Our own checkpoints carry bn_stats (train/checkpoint.py); fall
-        # back to fresh stats for weight-only artifacts. Presence is
-        # decided by the checkpoint metadata — see load_estimator for why
-        # a try/except around a partial restore can't be trusted.
-        import orbax.checkpoint as ocp
-        import os
+        # back to fresh stats for weight-only artifacts. restore_subtree
+        # decides presence from the checkpoint metadata — a try/except
+        # around Orbax's partial restore can't be trusted (it silently
+        # returns the template for absent subtrees).
+        from detectinblur_tpu.train.checkpoint import restore_subtree
 
-        from detectinblur_tpu.train.checkpoint import checkpoint_keys
-
-        stats = model.init_stats()
-        if "bn_stats" in checkpoint_keys(path):
-            with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
-                out = ckptr.restore(
-                    os.path.abspath(path),
-                    args=ocp.args.PyTreeRestore(
-                        item={"bn_stats": stats}, partial_restore=True))
-            stats = out["bn_stats"]
-        else:
-            print("checkpoint has no bn_stats; using fresh running stats")
+        stats = restore_subtree(path, "bn_stats", model.init_stats())
     return params, stats
 
 
@@ -118,26 +107,10 @@ def load_estimator(path: str, n_classes: int):
     estimator = ResNetClassifier("resnet18", n_classes, bn_mode="eval")
     init_vars = estimator.init(
         jax.random.key(0), np.zeros((1, 224, 224, 3), np.float32))
+    from detectinblur_tpu.train.checkpoint import restore_subtree
+
     est_params = restore_weights(path, init_vars["params"])
-    est_stats = init_vars["batch_stats"]
-    import os
-
-    import orbax.checkpoint as ocp
-
-    from detectinblur_tpu.train.checkpoint import checkpoint_keys
-
-    # Explicit presence check: Orbax's partial restore silently returns
-    # the TEMPLATE for an absent subtree, which would hide a weights-only
-    # checkpoint behind fresh stats.
-    if "bn_stats" in checkpoint_keys(path):
-        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
-            out = ckptr.restore(
-                os.path.abspath(path),
-                args=ocp.args.PyTreeRestore(
-                    item={"bn_stats": est_stats}, partial_restore=True))
-        est_stats = out["bn_stats"]
-    else:
-        print("estimator checkpoint has no bn_stats; using fresh stats")
+    est_stats = restore_subtree(path, "bn_stats", init_vars["batch_stats"])
     return estimator, {"params": est_params, "batch_stats": est_stats}
 
 

@@ -31,6 +31,14 @@ import numpy as np
 from PIL import Image
 
 
+def with_suffix(path: str, suffix: str) -> str:
+    """Swap a path's extension for ``suffix``. The datasets glob
+    case-insensitively (*.[pP][nN][gG]), so a literal
+    ``.replace(".png", ...)`` is a silent no-op on upper-case trees —
+    splitext handles any casing."""
+    return os.path.splitext(str(path))[0] + suffix
+
+
 def coco80_to_coco91(idx80: int) -> int:
     """COCO paper class index -> annotation category id (utils.py:25-34)."""
     missing = {12, 26, 29, 30, 45, 66, 68, 69, 71, 83}
@@ -90,7 +98,7 @@ class GOPRO(_DORSDataset):
         )
         kind = "sharp/" if sharp_images else "blur/"
         paths = [p for p in paths if kind in str(p)]
-        anns = [str(p).replace("blur", "sharp").replace(".png", "_DORS.npy")
+        anns = [with_suffix(str(p).replace("blur", "sharp"), "_DORS.npy")
                 for p in paths]
         super().__init__(paths, anns, threshold)
 
@@ -101,7 +109,7 @@ class VidBlur(_DORSDataset):
         paths = sorted(Path(root_dir).rglob("*.[jJ][pP][gG]"))
         kind = "GT/" if sharp_images else "input/"
         paths = [p for p in paths if kind in str(p)]
-        anns = [str(p).replace("input/", "GT/").replace(".jpg", "_DORS.npy")
+        anns = [with_suffix(str(p).replace("input/", "GT/"), "_DORS.npy")
                 for p in paths]
         super().__init__(paths, anns, threshold)
 
@@ -123,7 +131,7 @@ class RealBlur(_DORSDataset):
                     img_rel = gt_rel if sharp_images else blur_rel
                     paths.append(os.path.join(root_dir, img_rel))
                     anns.append(os.path.join(
-                        root_dir, gt_rel.replace(".png", "_DORS.npy")))
+                        root_dir, with_suffix(gt_rel, "_DORS.npy")))
         super().__init__(paths, anns, threshold)
 
 
@@ -134,7 +142,7 @@ class REDS(_DORSDataset):
             root_dir, "sharp.txt" if sharp_images else "blurry.txt")
         with open(list_file) as f:
             paths = [line.strip() for line in f if line.strip()]
-        anns = [p.replace("blur", "sharp").replace(".png", "_DORS.npy")
+        anns = [with_suffix(p.replace("blur", "sharp"), "_DORS.npy")
                 for p in paths]
         super().__init__(paths, anns, threshold)
 
@@ -221,16 +229,16 @@ class GOPROSynth:
         # PIL (custom_datasets.py:753-757).
         image = np.clip(acc / (2 * w + 1), 0, 255).astype(np.uint8)
 
-        ann = frames[center].replace(".png", "_DORS.npy")
+        ann = with_suffix(frames[center], "_DORS.npy")
         boxes, labels, areas = load_dors_targets(ann, self.threshold)
         if self.expand_boxes and len(boxes):
             fwd, bwd = [], []
             for k in range(center, center + w):
-                fp = frames[k].replace(".png", "_flow.npy")
+                fp = with_suffix(frames[k], "_flow.npy")
                 if os.path.exists(fp):
                     fwd.append(np.load(fp))
             for k in range(center, center - w, -1):
-                fp = frames[k].replace(".png", "_flow_bwd.npy")
+                fp = with_suffix(frames[k], "_flow_bwd.npy")
                 if os.path.exists(fp):
                     bwd.append(np.load(fp))
             boxes = expand_boxes_with_flow(
@@ -264,7 +272,7 @@ class GOPROSynthLoad:
         p = self.paths[idx]
         with Image.open(p) as im:
             image = np.asarray(im.convert("RGB"))  # uint8 transport
-        with open(str(p).replace(".png", ".dat"), "rb") as f:
+        with open(with_suffix(p, ".dat"), "rb") as f:
             t = pickle.load(f)
         boxes = np.asarray(t["boxes"], np.float32).reshape(-1, 4)
         labels = np.asarray(t["labels"], np.int32)
@@ -309,7 +317,7 @@ class GOPROBlurEst:
                     continue
                 if label == 1 and rng.random() < 0.1:
                     continue
-            items.append((img_path, img_path.replace(".png", ".dat"), label))
+            items.append((img_path, with_suffix(img_path, ".dat"), label))
             label_lists[label].append(img_path)
         self.items = items
         self.class_counts = [len(label_lists[c]) for c in range(4)]

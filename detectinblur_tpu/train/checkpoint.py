@@ -81,13 +81,36 @@ def restore_weights(path: str, params_template) -> Any:
 
 
 def checkpoint_keys(path: str) -> set:
-    """Top-level pytree keys of an Orbax checkpoint directory."""
+    """Top-level pytree keys of an Orbax checkpoint directory.
+
+    A metadata READ failure propagates (corrupt/missing checkpoint should
+    fail loudly, not silently demote a full checkpoint to a bare tree);
+    only a non-mapping pytree root (list/array checkpoints, which ARE
+    bare trees) maps to the empty set."""
     with ocp.StandardCheckpointer() as ckptr:
         md = ckptr.metadata(os.path.abspath(path)).item_metadata
     try:
         return set(md.keys())
-    except Exception:
+    except (AttributeError, TypeError):
         return set()
+
+
+def restore_subtree(path: str, key: str, template):
+    """Restore one top-level subtree of a checkpoint, or return the
+    template (with a warning) when the checkpoint doesn't carry it.
+
+    This is THE way to partially restore here: Orbax's partial restore
+    silently returns the template for an absent subtree rather than
+    raising, so presence must come from the checkpoint's own metadata."""
+    if key in checkpoint_keys(path):
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            out = ckptr.restore(
+                os.path.abspath(path),
+                args=ocp.args.PyTreeRestore(
+                    item={key: template}, partial_restore=True))
+        return out[key]
+    print(f"checkpoint has no {key}; using the fresh template")
+    return template
 
 
 def latest_epoch(output_dir: str) -> Optional[int]:

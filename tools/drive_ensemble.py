@@ -113,7 +113,7 @@ def time_device_chain():
                                      + 1e-7 * (r * iters + i)), key)
             jax.block_until_ready(out)
             rates.append(B * iters / (time.perf_counter() - t0))
-        best, med = max(rates), sorted(rates)[len(rates) // 2]
+        best, med = max(rates), sorted(rates)[(len(rates) - 1) // 2]
         results[tag] = {"ms_per_image_best": round(1000.0 / best, 2),
                         "ms_per_image_median": round(1000.0 / med, 2),
                         "window_rates": [round(x, 2) for x in rates]}
