@@ -88,8 +88,27 @@ def main():
     step = make_train_step(model, tx, bucket, blur_train=True,
                            expand_target_boxes=True)
 
+    # DIB_HOLD_STATE=1: time the step WITHOUT carrying the updated state
+    # between iterations (keys still vary). With DIB_ZERO_RPN_DELTA this
+    # pins the proposal-shape distribution at steady state for the whole
+    # window — carrying the state lets SGD on the random-feature backbone
+    # drift the delta head back into sliver proposals within a few
+    # iterations, which re-arms the RoIAlign oversized quad tier (~28 ms,
+    # tools/trace_sample_roi.py) and masks the distribution's real cost.
+    # Default off: the recorded protocol measures real training dynamics.
+    hold = os.environ.get("DIB_HOLD_STATE", "0") == "1"
+    if hold:
+        # The step donates its state argument, so reusing one state needs
+        # a fresh copy per call (~334 MB params+momentum ~ +0.5 ms/iter,
+        # charged AGAINST the probe, so the reading is conservative).
+        dup = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+        print("probe: state held fixed across timed iterations")
+
     t0 = time.perf_counter()
-    state, metrics = step(state, batch, jax.random.key(100))
+    if hold:
+        _, metrics = step(dup(state), batch, jax.random.key(100))
+    else:
+        state, metrics = step(state, batch, jax.random.key(100))
     jax.block_until_ready(metrics)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s",
           {k: float(v) for k, v in metrics.items()})
@@ -101,7 +120,10 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(iters):
-            state, metrics = step(state, batch, jax.random.key(i))
+            if hold:
+                _, metrics = step(dup(state), batch, jax.random.key(i))
+            else:
+                state, metrics = step(state, batch, jax.random.key(i))
         jax.block_until_ready(metrics)
         best = min(best, time.perf_counter() - t0)
     dt = best

@@ -143,8 +143,60 @@ def s_train_nms(j, p, imgs, f):
     return jnp.sum(r.proposals) + jnp.sum(r.objectness.astype(jnp.float32))
 
 
+def s_rpn_loss_only(j, p, imgs, f):
+    """run_rpn (train) + anchor assignment + rpn_loss, forward only."""
+    del imgs
+    from detectinblur_tpu.models.faster_rcnn import resize_boxes, rpn_loss
+
+    f = tuple((x + j).astype(x.dtype) for x in f)
+    gt_resized = jax.vmap(resize_boxes)(gt_boxes, hw, new_hw)
+    rpn_out = run_rpn(p["rpn_head"], model.rpn_head, f, new_hw,
+                      training=True, cfg=cfg.rpn)
+    keys = jax.random.split(key, (B, 2))
+    box_l, obj_l, n = jax.vmap(
+        lambda k, obj, dlt, gb, gv: rpn_loss(
+            k, obj, dlt, rpn_out.anchors, gb, gv, cfg.rpn)
+    )(keys[:, 0], rpn_out.objectness, rpn_out.pred_deltas, gt_resized,
+      gt_valid)
+    return jnp.sum(box_l) + jnp.sum(obj_l) + jnp.sum(n)
+
+
+def s_sample_roi_head(j, p, imgs, f):
+    """proposal sampling + fused RoIAlign fwd + box head + fastrcnn_loss
+    (uses train-NMS proposals; subtract s_train_nms for the net cost)."""
+    del imgs
+    from detectinblur_tpu.models.faster_rcnn import (
+        fastrcnn_loss,
+        resize_boxes,
+        select_training_samples,
+    )
+    from detectinblur_tpu.ops.roi_align_pallas import (
+        multiscale_roi_align_fused,
+    )
+
+    f = tuple((x + j).astype(x.dtype) for x in f)
+    gt_resized = jax.vmap(resize_boxes)(gt_boxes, hw, new_hw)
+    rpn_out = run_rpn(p["rpn_head"], model.rpn_head, f, new_hw,
+                      training=True, cfg=cfg.rpn)
+    keys = jax.random.split(key, (B, 2))
+    rois, roi_labels, reg_targets, roi_valid = jax.vmap(
+        lambda k, r, rv, gb, gl, gv: select_training_samples(
+            k, r, rv, gb, gl, gv, cfg.box)
+    )(keys[:, 1], rpn_out.proposals, rpn_out.proposal_valid, gt_resized,
+      gt_labels, gt_valid)
+    rois = jnp.where(roi_valid[..., None], rois, 0.0)
+    use_pallas, rps, wy = model._pallas_pool_plan(bucket)
+    pooled = multiscale_roi_align_fused(f[:4], rois, 7, 2, rps, wy, wy + 8)
+    logits, deltas = jax.vmap(lambda pi: model._head_from_pooled(p, pi))(pooled)
+    ce, bx, n = jax.vmap(fastrcnn_loss)(logits, deltas, roi_labels,
+                                        reg_targets)
+    return jnp.sum(ce) + jnp.sum(bx) + jnp.sum(n)
+
+
 stages = [
     ("train NMS (head+2000)", s_train_nms),
+    ("rpn assign+loss fwd", s_rpn_loss_only),
+    ("sample+roi+boxhead fwd", s_sample_roi_head),
     ("loss fwd", s_loss_fwd),
     ("heads fwd+bwd", s_heads_fwdbwd),
     ("FULL fwd+bwd", s_full_fwdbwd),
